@@ -1,0 +1,439 @@
+"""Pure-NumPy pixel kernels for the image-quality feature path.
+
+Semantics transcribed from the reference classifier
+(`/root/reference/src/methods/classificator/classificator_extended_paddleocr.py:89-203`
+and `dark_document_classifier.py:53-74`), re-implemented from scratch on
+NumPy (the sandbox has no OpenCV).  Bit-exactness vs OpenCV is NOT a
+goal — the correctness invariant is Spark-pipeline == single-node
+oracle, and both share these kernels; thresholds and rule ordering come
+from the reference citations.
+
+Replacement choices (documented deviations from OpenCV):
+* GaussianBlur(5,5)        -> separable 5-tap binomial kernel
+* adaptiveThreshold(G/M)   -> box-mean block threshold (integral image)
+* findContours + bboxes    -> run-based connected components (8-conn)
+* contourArea              -> component pixel count
+* minAreaRect angle        -> PCA principal-axis angle of the component
+* medianBlur(3)            -> 3x3 window median
+
+All functions take/return uint8 or float numpy arrays and are safe for
+the fixture size range (1..512 px sides).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "grayscale",
+    "laplacian_variance",
+    "box_filter",
+    "binomial5_blur",
+    "median3",
+    "otsu_threshold",
+    "adaptive_threshold_inv",
+    "erode",
+    "dilate",
+    "morph_open",
+    "morph_close",
+    "connected_components",
+    "brightness_stats",
+    "roi_fraction",
+    "text_density",
+    "table_line_fraction",
+    "is_table_like",
+    "estimate_skew_deg",
+    "core_content_fraction",
+    "image_features",
+    "IMAGE_FEATURE_NAMES",
+]
+
+
+# ------------------------------------------------------------- basics
+
+def grayscale(px: np.ndarray) -> np.ndarray:
+    """ITU-R BT.601 luma (matches cv2.cvtColor RGB2GRAY weights)."""
+    if px.ndim == 2:
+        return px.astype(np.uint8)
+    f = px[..., 0] * 0.299 + px[..., 1] * 0.587 + px[..., 2] * 0.114
+    return np.clip(np.round(f), 0, 255).astype(np.uint8)
+
+
+def laplacian_variance(gray: np.ndarray) -> float:
+    """Var of the 3x3 Laplacian [[0,1,0],[1,-4,1],[0,1,0]] (blur score).
+
+    Reference: `_blur_score` classificator_extended_paddleocr.py:117-119.
+    Border: replicate (cv2 BORDER_REFLECT_101 differs at edges only).
+    """
+    g = gray.astype(np.float64)
+    p = np.pad(g, 1, mode="edge")
+    lap = p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4.0 * g
+    return float(lap.var())
+
+
+def _integral_means(gray: np.ndarray, block: int) -> np.ndarray:
+    """Local box mean with replicate border, via integral image."""
+    r = block // 2
+    g = np.pad(gray.astype(np.float64), r, mode="edge")
+    ii = np.zeros((g.shape[0] + 1, g.shape[1] + 1), dtype=np.float64)
+    np.cumsum(np.cumsum(g, axis=0), axis=1, out=ii[1:, 1:])
+    h, w = gray.shape
+    s = (
+        ii[block:, block:]
+        - ii[:-block, block:]
+        - ii[block:, :-block]
+        + ii[:-block, :-block]
+    )
+    return s[:h, :w] / float(block * block)
+
+
+def box_filter(gray: np.ndarray, k: int) -> np.ndarray:
+    return np.clip(np.round(_integral_means(gray, k)), 0, 255).astype(np.uint8)
+
+
+def binomial5_blur(gray: np.ndarray) -> np.ndarray:
+    """Separable [1,4,6,4,1]/16 blur ~= cv2.GaussianBlur(5,5,0)."""
+    k = np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+    g = gray.astype(np.float64)
+    p = np.pad(g, ((2, 2), (0, 0)), mode="edge")
+    v = sum(p[i : i + g.shape[0]] * k[i] for i in range(5))
+    p = np.pad(v, ((0, 0), (2, 2)), mode="edge")
+    out = sum(p[:, i : i + g.shape[1]] * k[i] for i in range(5))
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _window_view(gray: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    p = np.pad(gray, ((kh // 2, kh - 1 - kh // 2), (kw // 2, kw - 1 - kw // 2)),
+               mode="edge")
+    return np.lib.stride_tricks.sliding_window_view(p, (kh, kw))
+
+
+def median3(gray: np.ndarray) -> np.ndarray:
+    """3x3 median (cv2.medianBlur(g, 3) analogue)."""
+    if gray.shape[0] < 3 or gray.shape[1] < 3:
+        return gray.copy()
+    return np.median(_window_view(gray, 3, 3), axis=(2, 3)).astype(np.uint8)
+
+
+def otsu_threshold(gray: np.ndarray) -> int:
+    """Otsu global threshold over a 256-bin histogram."""
+    hist = np.bincount(gray.reshape(-1), minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 127
+    omega = np.cumsum(hist)
+    mu = np.cumsum(hist * np.arange(256))
+    mu_t = mu[-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sigma_b = (mu_t * omega - mu) ** 2 / (omega * (total - omega))
+    sigma_b[~np.isfinite(sigma_b)] = 0.0
+    return int(np.argmax(sigma_b))
+
+
+def adaptive_threshold_inv(gray: np.ndarray, block: int, c: float) -> np.ndarray:
+    """BINARY_INV adaptive threshold: 255 where px <= local_mean - C.
+
+    Box mean stands in for both cv2 MEAN_C and GAUSSIAN_C variants.
+    """
+    means = _integral_means(gray, block)
+    return ((gray.astype(np.float64) <= means - c) * 255).astype(np.uint8)
+
+
+# --------------------------------------------------------- morphology
+
+def _minmax_1d(binary: np.ndarray, k: int, axis: int, op) -> np.ndarray:
+    if k <= 1:
+        return binary
+    if axis == 1:
+        v = _window_view(binary, 1, k)
+    else:
+        v = _window_view(binary, k, 1)
+    return op(v, axis=(2, 3))
+
+
+def erode(binary: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    out = _minmax_1d(binary, kw, 1, np.min)
+    return _minmax_1d(out, kh, 0, np.min)
+
+
+def dilate(binary: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    out = _minmax_1d(binary, kw, 1, np.max)
+    return _minmax_1d(out, kh, 0, np.max)
+
+
+def morph_open(binary: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    return dilate(erode(binary, kh, kw), kh, kw)
+
+
+def morph_close(binary: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    return erode(dilate(binary, kh, kw), kh, kw)
+
+
+# ------------------------------------------- connected components
+
+class _DSU:
+    __slots__ = ("parent",)
+
+    def __init__(self) -> None:
+        self.parent: list[int] = []
+
+    def make(self) -> int:
+        self.parent.append(len(self.parent))
+        return len(self.parent) - 1
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        root = x
+        while p[root] != root:
+            root = p[root]
+        while p[x] != root:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+def connected_components(binary: np.ndarray):
+    """8-connected components of a 0/255 mask via row runs + union-find.
+
+    Returns a list of dicts: {area (pixel count), bbox (x1, y1, x2, y2
+    exclusive), sum_x, sum_y, sxx, syy, sxy} — enough for bounding boxes
+    and PCA orientation without storing pixel lists.
+    """
+    h, w = binary.shape
+    mask = binary != 0
+    dsu = _DSU()
+    # runs per row: (start, end-exclusive, label)
+    prev_runs: list[tuple[int, int, int]] = []
+    stats: list[list[float]] = []  # per root later; accumulate per run label
+
+    run_rows: list[tuple[int, int, int, int]] = []  # (y, start, end, label)
+    for y in range(h):
+        row = mask[y]
+        if not row.any():
+            prev_runs = []
+            continue
+        d = np.diff(row.astype(np.int8))
+        starts = list(np.flatnonzero(d == 1) + 1)
+        ends = list(np.flatnonzero(d == -1) + 1)
+        if row[0]:
+            starts = [0] + starts
+        if row[-1]:
+            ends = ends + [w]
+        cur_runs: list[tuple[int, int, int]] = []
+        pi = 0
+        for s, e in zip(starts, ends):
+            label = dsu.make()
+            # 8-connectivity: overlap with previous-row runs expanded by 1
+            for ps, pe, pl in prev_runs:
+                if ps - 1 < e and pe + 1 > s:
+                    dsu.union(label, pl)
+            cur_runs.append((s, e, label))
+            run_rows.append((y, s, e, label))
+        prev_runs = cur_runs
+        del pi
+
+    comps: dict[int, dict] = {}
+    for y, s, e, label in run_rows:
+        r = dsu.find(label)
+        c = comps.get(r)
+        n = e - s
+        xs = (s + e - 1) * n / 2.0  # sum of x over run
+        # sum of x^2 over [s, e): use formula
+        sx2 = ((e - 1) * e * (2 * e - 1) - (s - 1) * s * (2 * s - 1)) / 6.0
+        if c is None:
+            comps[r] = c = {
+                "area": 0, "x1": s, "y1": y, "x2": e, "y2": y + 1,
+                "sum_x": 0.0, "sum_y": 0.0, "sxx": 0.0, "syy": 0.0, "sxy": 0.0,
+            }
+        c["area"] += n
+        c["x1"] = min(c["x1"], s)
+        c["x2"] = max(c["x2"], e)
+        c["y1"] = min(c["y1"], y)
+        c["y2"] = max(c["y2"], y + 1)
+        c["sum_x"] += xs
+        c["sum_y"] += y * n
+        c["sxx"] += sx2
+        c["syy"] += y * y * n
+        c["sxy"] += y * xs
+    out = []
+    for c in comps.values():
+        c["bbox"] = (c["x1"], c["y1"], c["x2"], c["y2"])
+        out.append(c)
+    return out
+
+
+def _component_angle_deg(c: dict) -> float:
+    """Principal-axis angle in degrees in (-90, 90] via second moments."""
+    n = c["area"]
+    mx = c["sum_x"] / n
+    my = c["sum_y"] / n
+    vxx = c["sxx"] / n - mx * mx
+    vyy = c["syy"] / n - my * my
+    vxy = c["sxy"] / n - mx * my
+    ang = 0.5 * np.degrees(np.arctan2(2.0 * vxy, vxx - vyy))
+    return float(ang)
+
+
+# ------------------------------------------------------- feature ops
+
+def brightness_stats(gray: np.ndarray) -> tuple[float, float, float, float, float]:
+    """(mean, median, contrast=std, %px<100, %px<50).
+
+    Reference: `_analyze_brightness` dark_document_classifier.py:53-74.
+    """
+    mean_b = float(gray.mean())
+    median_b = float(np.median(gray))
+    contrast = float(gray.std())
+    total = gray.size
+    dark = float(np.count_nonzero(gray < 100)) / total * 100.0
+    very_dark = float(np.count_nonzero(gray < 50)) / total * 100.0
+    return mean_b, median_b, contrast, dark, very_dark
+
+
+def roi_fraction(gray: np.ndarray):
+    """(bbox, roi_frac): largest bright-region bbox after blur+Otsu.
+
+    Reference: `_find_document_roi` :92-107 — Gaussian blur, Otsu
+    BINARY (bright = document), external contours, max-bbox-area.
+    """
+    h, w = gray.shape
+    blur = binomial5_blur(gray)
+    t = otsu_threshold(blur)
+    th = ((blur > t) * 255).astype(np.uint8)
+    comps = connected_components(th)
+    best = (0, 0, w, h)
+    best_area = 0
+    for c in comps:
+        x1, y1, x2, y2 = c["bbox"]
+        area = (x2 - x1) * (y2 - y1)
+        if area > best_area:
+            best_area = area
+            best = (x1, y1, x2, y2)
+    frac = best_area / float(w * h) if w * h else 1.0
+    return best, float(frac)
+
+
+def crop_roi(gray: np.ndarray):
+    """ROI crop unless box < 20% of a dimension (reference :109-115)."""
+    (x1, y1, x2, y2), frac = roi_fraction(gray)
+    h, w = gray.shape
+    if (x2 - x1) < w * 0.2 or (y2 - y1) < h * 0.2:
+        return gray, frac
+    return gray[y1:y2, x1:x2], frac
+
+
+def text_density(gray: np.ndarray) -> float:
+    """Ink fraction: median3 -> adaptive INV (35, 15) -> open 3x3.
+
+    Reference: `_text_density` :121-128.
+    """
+    g = median3(gray)
+    thr = adaptive_threshold_inv(g, 35, 15)
+    thr = morph_open(thr, 3, 3)
+    return float(np.count_nonzero(thr)) / float(thr.size)
+
+
+def table_line_fraction(gray: np.ndarray) -> float:
+    """Long-line pixel fraction: adaptive INV (31, 10) -> open 40x1 / 1x40.
+
+    Reference: `_is_table_like` :130-144.
+    """
+    thr = adaptive_threshold_inv(gray, 31, 10)
+    h_lines = morph_open(thr, 1, 40)
+    v_lines = morph_open(thr, 40, 1)
+    return float(np.count_nonzero(h_lines) + np.count_nonzero(v_lines)) / thr.size
+
+
+def is_table_like(gray: np.ndarray) -> bool:
+    return table_line_fraction(gray) > 0.010
+
+
+def estimate_skew_deg(gray: np.ndarray) -> float:
+    """Median axial deviation of dilated text-line components.
+
+    Reference: `_estimate_skew_deg` :146-172 — 6% margin crop, adaptive
+    INV (31, 11), dilate (max(20, w/50) x 3), components >= 3e-4 area,
+    per-component orientation angle -> axial distance -> median.
+    """
+    h, w = gray.shape
+    m = int(min(h, w) * 0.06)
+    roi = gray[m : h - m, m : w - m] if min(h, w) - 2 * m > 4 else gray
+    thr = adaptive_threshold_inv(roi, 31, 11)
+    kw = max(20, roi.shape[1] // 50)
+    lines = dilate(thr, 3, kw)
+    comps = connected_components(lines)
+    area_min = roi.shape[0] * roi.shape[1] * 3e-4
+    dists = []
+    for c in comps:
+        if c["area"] < area_min:
+            continue
+        x1, y1, x2, y2 = c["bbox"]
+        if (x2 - x1) <= 1 or (y2 - y1) <= 1:
+            continue
+        a = _component_angle_deg(c)
+        aa = abs(a)
+        dists.append(min(aa, abs(90.0 - aa)))
+    return float(np.median(dists)) if dists else 0.0
+
+
+def core_content_fraction(gray: np.ndarray) -> float:
+    """Largest merged content blob pixel-area fraction.
+
+    Reference: `_core_content_fraction` :174-188 — median3, adaptive INV
+    (41, 15), close 15x15 x2, largest component area / (h*w).
+    """
+    g = median3(gray)
+    thr = adaptive_threshold_inv(g, 41, 15)
+    merged = morph_close(morph_close(thr, 15, 15), 15, 15)
+    comps = connected_components(merged)
+    if not comps:
+        return 0.0
+    h, w = gray.shape
+    largest = max(c["area"] for c in comps)
+    return float(largest) / float(h * w)
+
+
+# ------------------------------------------------------ one-pass API
+
+IMAGE_FEATURE_NAMES = [
+    "roi_frac",
+    "avg_blur",
+    "text_density",
+    "is_table_like",
+    "avg_skew_deg",
+    "core_frac",
+    "mean_brightness",
+    "median_brightness",
+    "contrast",
+    "dark_pixels_percent",
+    "very_dark_pixels_percent",
+]
+
+
+def image_features(px: np.ndarray) -> dict:
+    """All image-path features for one decoded RGB image, one pass.
+
+    Mirrors the reference per-page order: ROI crop first, then metrics
+    on the cropped working array (`assess_pdf` :395-403); brightness
+    stats on the full image (the dark classifier is a separate stage).
+    """
+    gray = grayscale(px)
+    cropped, roi_frac_v = crop_roi(gray)
+    mean_b, median_b, contrast, dark, very_dark = brightness_stats(gray)
+    return {
+        "roi_frac": roi_frac_v,
+        "avg_blur": laplacian_variance(cropped),
+        "text_density": text_density(cropped),
+        "is_table_like": bool(is_table_like(cropped)),
+        "avg_skew_deg": estimate_skew_deg(cropped),
+        "core_frac": core_content_fraction(cropped),
+        "mean_brightness": mean_b,
+        "median_brightness": median_b,
+        "contrast": contrast,
+        "dark_pixels_percent": dark,
+        "very_dark_pixels_percent": very_dark,
+    }
