@@ -125,7 +125,10 @@ def otsu_threshold(gray: np.ndarray) -> int:
     mu = np.cumsum(hist * np.arange(256))
     mu_t = mu[-1]
     with np.errstate(divide="ignore", invalid="ignore"):
-        sigma_b = (mu_t * omega - mu) ** 2 / (omega * (total - omega))
+        # between-class variance with count-based cumulatives:
+        # ((muT/N)*omega - mu)^2 / (omega * (N - omega)) * N  — constant
+        # factors dropped, so maximize (muT*omega - mu*N)^2 / (omega*(N-omega))
+        sigma_b = (mu_t * omega - mu * total) ** 2 / (omega * (total - omega))
     sigma_b[~np.isfinite(sigma_b)] = 0.0
     return int(np.argmax(sigma_b))
 
