@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place where the pipeline's Spark configuration is decided, so
+tests, bench, and spark-submit all run the same plan shape:
+
+* AQE on (runtime re-plan, skew-join splitting).
+* Arrow-vectorized pandas UDFs with a SMALL records-per-batch — the
+  ``bytes`` cells are multi-KB..MB, so batches are sized by bytes, not
+  row count (SURVEY.md §4.2 "Arrow batch memory").
+* ``spark.sql.shuffle.partitions`` defaults to 2x cores locally; on a
+  real cluster set it to ~2-3x total executor cores via spark-submit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "ARROW_BATCH_ROWS"]
+
+ARROW_BATCH_ROWS = 64
+
+
+def get_spark(
+    app: str = "qfilter",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict | None = None,
+) -> SparkSession:
+    cores = os.cpu_count() or 8
+    master = master or os.environ.get("QFILTER_MASTER", f"local[{cores}]")
+    if shuffle_partitions is None:
+        n = int(master[6:-1]) if master.startswith("local[") and master[6:-1].isdigit() else cores
+        shuffle_partitions = max(8, 2 * n)
+    b = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("QFILTER_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
