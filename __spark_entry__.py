@@ -1,38 +1,449 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` smoke-runs the flagship quality-filter pipeline on the
+self-generated fixture table; `queries()` exposes every implemented
+operator from SURVEY.md §2 (+ the training-data-pipeline extensions);
+`oracle_sql()` gives the DuckDB-equivalent SQL for each hash-checkable
+query.  Queries over our own synthetic image fixtures point their
+oracles at the pure-Python oracle's persisted outputs
+(labels_ref.parquet) — the single-node reference implementation.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+for p in (REPO, os.path.join(REPO, "tools")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+FIXTURE_TIER = "smoke"
+
+
+def _fixture_dir() -> str:
+    from make_fixtures import ensure_fixtures
+
+    return ensure_fixtures(FIXTURE_TIER)
+
+
+def _fixture_images(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(os.path.join(_fixture_dir(), "images.parquet"))
+
+
+def _nlp_sidecar(sf_dir: str) -> str:
+    from make_oracle_sidecars import ensure_sidecar
+
+    return ensure_sidecar(sf_dir)
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full quality filter (decode -> features -> cascade ->
+    scrub) over the deterministic synthetic image+caption table."""
+    from qfilter.cascade import with_labels
+    from qfilter.features import with_all_features
+
+    images = _fixture_images(spark)
+    labeled = with_labels(with_all_features(images))
+    return labeled.select(
+        "image_id", "category", "reason", "keep", "is_dark", "lang",
+        "caption_scrubbed", "pii_hits", "tox_hits", "phash64",
+    )
+
+
+# -------------------------------------------------------------- queries
+
+def _qf_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qfilter.cascade import with_labels
+    from qfilter.features import with_all_features
+
+    labeled = with_labels(with_all_features(_fixture_images(spark)))
+    return labeled.select("image_id", "category", "reason", "keep")
+
+
+def _qf_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qfilter.features import with_scrubbed_caption
+
+    return with_scrubbed_caption(
+        _fixture_images(spark).select("image_id", "caption")
+    ).select("image_id", "caption_scrubbed", "pii_hits", "tox_hits")
+
+
+def _qf_category_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _qf_labels(spark, sf_dir)
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("keep").cast("int")).alias("kept"))
+    )
+
+
+def _qf_dedup_winners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qfilter.dedup import phash_winners
+
+    return phash_winners(_fixture_images(spark))
+
+
+def _qf_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qfilter.dedup import neardup_phash_pairs
+
+    return neardup_phash_pairs(
+        _fixture_images(spark).select("phash").distinct(), max_hamming=3
+    )
+
+
+def _qf_dark_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qfilter.cascade import dark_flag, dark_reason
+    from qfilter.features import with_image_features
+
+    feats = with_image_features(_fixture_images(spark))
+    return (
+        feats.withColumn("is_dark", dark_flag())
+        .withColumn("dark_reason", dark_reason())
+        .groupBy("is_dark", F.regexp_extract("dark_reason", r"^([a-z_]+)", 1).alias("dark_rule"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _doc_nlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """langid + token counts + perplexity via the executor-side bundle."""
+    from pyspark.sql import types as T
+
+    from qfilter.textops import default_bundle, text_heuristics
+
+    schema = T.StructType(
+        [
+            T.StructField("lang_pred", T.StringType()),
+            T.StructField("token_count", T.IntegerType()),
+            T.StructField("words_count", T.IntegerType()),
+            T.StructField("perplexity", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def nlp(text: pd.Series) -> pd.DataFrame:
+        bundle = default_bundle()
+        rows = []
+        for t in text:
+            t = t or ""
+            lang, _ = bundle.langid.predict(t)
+            heur = text_heuristics(t)
+            ppl = bundle.lm.perplexity(t)
+            rows.append(
+                {
+                    "lang_pred": lang,
+                    "token_count": heur["token_count"],
+                    "words_count": heur["words_count"],
+                    "perplexity": float(ppl) if np.isfinite(ppl) else None,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", nlp(F.col("text")).alias("_n")).select("doc_id", "_n.*")
+
+
+def _mm_image_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qfilter.multimodal import image_thumbnail
+
+    out = image_thumbnail(_fixture_images(spark), tw=8, th=8)
+    return out.select("image_id", F.md5(F.col("thumb")).alias("thumb_md5"), "tw", "th")
+
+
+def _mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic PCM16 audio (sine + square) -> features."""
+    import numpy as np
+
+    from qfilter.multimodal import audio_features
+
+    rows = []
+    for i in range(64):
+        sr = 8000
+        t = np.arange(sr // 4, dtype=np.float64) / sr
+        freq = 110.0 * (1 + i % 8)
+        wave = np.sin(2 * np.pi * freq * t) * (0.1 + 0.05 * (i % 5))
+        if i % 3 == 0:
+            wave = np.sign(wave) * np.abs(wave).max()
+        pcm = (wave * 32767).astype("<i2").tobytes()
+        rows.append((f"aud{i:04d}", bytearray(pcm), sr, 1))
+    df = spark.createDataFrame(rows, "audio_id string, pcm binary, sample_rate int, channels int")
+    return audio_features(df)
+
+
+def _mm_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic raw-frame 'videos' -> sampled frame stats."""
+    import numpy as np
+
+    from qfilter.multimodal import video_frame_features
+
+    rows = []
+    for i in range(16):
+        w, h, n = 32, 24, 20
+        rng = np.random.default_rng(np.random.PCG64((123, i)))
+        frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        rows.append((f"vid{i:04d}", bytearray(frames.tobytes()), n, w, h))
+    df = spark.createDataFrame(
+        rows, "video_id string, frames binary, n_frames int, w int, h int"
+    )
+    return video_frame_features(df, every_n=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from qfilter import corpus, similarity
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- quality-filter engine over the synthetic images table ---
+        "qf_labels": _qf_labels,
+        "qf_scrub": _qf_scrub,
+        "qf_category_counts": _qf_category_counts,
+        "qf_dedup_winners": _qf_dedup_winners,
+        "qf_neardup_pairs": _qf_neardup_pairs,
+        "qf_dark_rollup": _qf_dark_rollup,
+        # --- corpus text analytics over `documents` ---
+        "text_quality_stats": corpus.text_quality_stats,
+        "lang_rollup": corpus.lang_rollup,
+        "exact_dedup": corpus.exact_dedup,
+        "fingerprints": corpus.fingerprints,
+        "cer_per_lang": corpus.cer_per_lang,
+        "trigram_jaccard_pairs": corpus.trigram_jaccard_pairs,
+        "minhash_lsh_dup_pairs": corpus.minhash_lsh_dup_pairs,
+        "simhash64": corpus.simhash64,
+        "doc_nlp": _doc_nlp,
+        # --- events (window/sequential ops) ---
+        "event_gaps": corpus.event_gaps,
+        "event_rollup": corpus.event_rollup,
+        # --- TPC-H-ish rollup/join/grid/topk ---
+        "lineitem_rollup": corpus.lineitem_rollup,
+        "top_customers": corpus.top_customers,
+        "discount_grid_argmax": corpus.discount_grid_argmax,
+        # --- embeddings similarity ---
+        "embedding_norms": similarity.embedding_norms,
+        "cosine_topk": similarity.cosine_topk,
+        "cosine_topk_bucketed": similarity.cosine_topk_bucketed,
+        "lsh_ann_topk": similarity.lsh_ann_topk,
+        # --- multimodal plumbing ---
+        "mm_image_thumbs": _mm_image_thumbs,
+        "mm_audio_features": _mm_audio,
+        "mm_video_frames": _mm_video,
+    }
 
+
+# ------------------------------------------------------------ oracle SQL
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    fdir = _fixture_dir()
+    labels_ref = os.path.join(fdir, "labels_ref.parquet")
+    images_pq = os.path.join(fdir, "images.parquet")
+    nlp_sidecar = _nlp_sidecar("/root/testdata/sf0.01")
+
+    dup_docs = (
+        "SELECT doc_id, text, lang FROM documents "
+        "UNION ALL SELECT doc_id + 1000000, text, lang FROM documents"
+    )
+    # word-trigram shingles incl. the 80%-truncated copies (1-based lists)
+    tri_base = """
+      WITH docs AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') ws FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               list_slice(ws, 1, greatest(CAST(floor(len(ws) * 0.8) AS INT), 1))
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') ws FROM documents)
+      ),
+      tri AS (
+        SELECT DISTINCT doc_id,
+               ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS shingle
+        FROM docs, UNNEST(range(0, greatest(len(ws) - 2, 0))) AS t(i)
+        WHERE len(ws) >= 3
+      ),
+      sizes AS (SELECT doc_id, count(*) n_sh FROM tri GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id id1, b.doc_id id2, count(*) n_inter
+        FROM tri a JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
     """
-    return {}
+    return {
+        "qf_labels": (
+            f"SELECT image_id, category, reason, keep "
+            f"FROM read_parquet('{labels_ref}')"
+        ),
+        "qf_scrub": (
+            f"SELECT image_id, caption_scrubbed, pii_hits, tox_hits "
+            f"FROM read_parquet('{labels_ref}')"
+        ),
+        "qf_category_counts": (
+            f"SELECT category, count(*) AS n, "
+            f"CAST(sum(CAST(keep AS INT)) AS BIGINT) AS kept "
+            f"FROM read_parquet('{labels_ref}') GROUP BY category"
+        ),
+        "qf_dedup_winners": (
+            f"SELECT phash, min(image_id) AS canonical_id, count(*) AS dup_count "
+            f"FROM read_parquet('{images_pq}') GROUP BY phash"
+        ),
+        "qf_dark_rollup": (
+            f"SELECT is_dark, regexp_extract(dark_reason, '^([a-z_]+)', 1) AS dark_rule, "
+            f"count(*) AS n FROM read_parquet('{labels_ref}') GROUP BY 1, 2"
+        ),
+        "text_quality_stats": """
+            SELECT doc_id, lang,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_words,
+                   length(text) AS n_chars_obs,
+                   length(regexp_replace(text, '\\s+', '', 'g')) AS n_letters,
+                   CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                     / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                     AS mean_word_len,
+                   len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_uniq_words,
+                   CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+                     / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                     AS uniq_word_frac
+            FROM documents
+        """,
+        "lang_rollup": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_words,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "exact_dedup": (
+            f"SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count "
+            f"FROM ({dup_docs}) GROUP BY md5(text)"
+        ),
+        "fingerprints": (
+            "SELECT doc_id, substring(md5(lower(trim(text))), 1, 16) AS fingerprint "
+            "FROM documents"
+        ),
+        "cer_per_lang": """
+            SELECT lang,
+                   CAST(sum(levenshtein(regexp_replace(text, '[aeiou]', '', 'g'), text)) AS BIGINT) AS sum_lev,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_ref_len,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "trigram_jaccard_pairs": tri_base + """
+            SELECT i.id1, i.id2, i.n_inter, sa.n_sh AS n1, sb.n_sh AS n2,
+                   CAST(i.n_inter AS DOUBLE)
+                     / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id1
+            JOIN sizes sb ON sb.doc_id = i.id2
+            WHERE CAST(i.n_inter AS DOUBLE)
+                  / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.4
+        """,
+        "doc_nlp": (
+            f"SELECT doc_id, lang_pred, token_count, words_count, perplexity "
+            f"FROM read_parquet('{nlp_sidecar}')"
+        ),
+        "event_gaps": """
+            WITH g AS (
+              SELECT user_id,
+                     date_diff('us',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_us
+              FROM events
+            )
+            SELECT user_id, count(*) AS n_gaps, CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+                   CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+                   CAST(sum(CASE WHEN gap_us > CAST(3600 AS BIGINT) * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_gt_1h
+            FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+        """,
+        "event_rollup": """
+            SELECT event_type, count(*) AS n,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "lineitem_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                        AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY total_spent DESC, c_custkey ASC
+            LIMIT 10
+        """,
+        "discount_grid_argmax": """
+            WITH grid AS (
+              SELECT qty_max, disc_min / 100.0 AS disc_min
+              FROM (VALUES (10), (20), (30), (40)) q(qty_max),
+                   (VALUES (2), (4), (6), (8)) d(disc_min)
+            ),
+            rev AS (
+              SELECT g.qty_max, g.disc_min,
+                     CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(28,8)))
+                          AS DOUBLE) AS revenue,
+                     count(*) AS n_rows
+              FROM lineitem, grid g
+              WHERE l_quantity < g.qty_max AND l_discount >= g.disc_min
+              GROUP BY g.qty_max, g.disc_min
+            )
+            SELECT * FROM rev ORDER BY revenue DESC, qty_max, disc_min LIMIT 1
+        """,
+        "embedding_norms": """
+            SELECT vec_id, label,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+            FROM embeddings
+        """,
+        "cosine_topk": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id q, b.vec_id n,
+                     list_sum(list_transform(range(1, len(a.embedding) + 1),
+                        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                     AS cos
+              FROM e a, e b WHERE a.vec_id != b.vec_id
+            ),
+            ranked AS (
+              SELECT q, n, row_number() OVER
+                     (PARTITION BY q ORDER BY cos DESC, n ASC) AS rank
+              FROM pairs
+            )
+            SELECT q, rank, n FROM ranked WHERE rank <= 5
+        """,
+        "cosine_topk_bucketed": """
+            WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id q, b.vec_id n,
+                     list_sum(list_transform(range(1, len(a.embedding) + 1),
+                        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                     AS cos
+              FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id
+            ),
+            ranked AS (
+              SELECT q, n, row_number() OVER
+                     (PARTITION BY q ORDER BY cos DESC, n ASC) AS rank
+              FROM pairs
+            )
+            SELECT q, rank, n FROM ranked WHERE rank <= 5
+        """,
+        # minhash_lsh_dup_pairs / simhash64 / lsh_ann_topk /
+        # qf_neardup_pairs / mm_*: rely on Spark-side hashing (xxhash64)
+        # or media decoding DuckDB can't replicate -> rows-only checks;
+        # their semantics are pytest-verified against exact baselines.
+    }

@@ -1,0 +1,110 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline = the BASELINE.json metric: end-to-end filter throughput
+(images/sec) over the deterministic `bench` fixture tier (decode ->
+image+caption features -> cascade -> scrub -> parquet sink), plus the
+corpus-scale operator suite at the given sf dir.
+
+The e2e stage is materialized with a parquet write — a count() would
+let Catalyst prune the feature UDFs away and time nothing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+for p in (REPO, os.path.join(REPO, "tools")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_TIER = os.environ.get("QFILTER_BENCH_TIER", "bench")
+
+
+def _sf_value(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def run_suite(spark, sf_dir: str, tier: str) -> tuple[dict, int]:
+    from make_fixtures import ensure_fixtures
+
+    from qfilter import corpus, similarity
+    from qfilter.cascade import with_labels
+    from qfilter.dedup import phash_winners
+    from qfilter.features import with_all_features
+
+    tdir = ensure_fixtures(tier)
+    images = spark.read.parquet(os.path.join(tdir, "images.parquet"))
+    n_images = images.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    sink = tempfile.mkdtemp(prefix="qfilter_bench_")
+    try:
+        def e2e():
+            labeled = with_labels(with_all_features(images))
+            labeled.select(
+                "image_id", "category", "reason", "keep", "is_dark", "lang",
+                "caption_scrubbed", "pii_hits", "tox_hits", "phash64",
+            ).write.mode("overwrite").parquet(os.path.join(sink, "labels"))
+
+        timed("qfilter_e2e", e2e)
+        timed("phash_dedup", lambda: phash_winners(images).count())
+        timed("lineitem_rollup", lambda: corpus.lineitem_rollup(spark, sf_dir).count())
+        timed("top_customers", lambda: corpus.top_customers(spark, sf_dir).count())
+        timed("event_gaps", lambda: corpus.event_gaps(spark, sf_dir).count())
+        timed("exact_dedup", lambda: corpus.exact_dedup(spark, sf_dir).count())
+        timed(
+            "trigram_jaccard",
+            lambda: corpus.trigram_jaccard_pairs(spark, sf_dir).count(),
+        )
+        timed("doc_nlp_batch", lambda: corpus.simhash64(spark, sf_dir).count())
+        timed(
+            "cosine_topk_bucketed",
+            lambda: similarity.cosine_topk_bucketed(spark, sf_dir).count(),
+        )
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+    return timings, n_images
+
+
+def main() -> None:
+    from qfilter.session import get_spark
+
+    spark = get_spark(app="qfilter-bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings, n_images = run_suite(spark, SF_DIR, BENCH_TIER)
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "qfilter bench suite wall time (e2e filter + operator suite)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_value(SF_DIR),
+        "images": n_images,
+        "images_per_sec": round(n_images / timings["qfilter_e2e"], 1),
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,407 @@
+"""Corpus-scale text analytics over the `documents` / `events` /
+TPC-H-ish tables — the training-data-pipeline operators (dedup,
+fingerprinting, quality scoring, CER, rollups, windows, top-k).
+
+Each function takes (spark, sf_dir) and returns a DataFrame; the
+matching ANSI-SQL oracle strings live in `__spark_entry__.oracle_sql`.
+Determinism rules for oracle hash-equality:
+
+* money/quantity sums -> DECIMAL (associative, order-independent),
+  never double sums (partial-aggregation order would change ulps);
+* doubles only from integer/integer division (exact same IEEE result
+  in both engines);
+* every aggregate aliased identically in Spark and SQL.
+
+Reference parity notes: category counts = A3 (`classify_quality_folder
+.py:37-40`), weighted macro CER = A5 (`cer_utils.py:46-54`), filename
+equi-join = J1 (`cer_utils.py:36-40`), page->doc rollup = A1
+(`classificator_extended_paddleocr.py:424-443`), lag window = W1
+(`:300-308`), grid argmax = A6 (`tune_extended_classifier.py:103-123`),
+top-k = A8 (`tune:244-251`).  Dedup/fingerprint/minhash/simhash are the
+north-rule extensions (no counterpart in the reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "load",
+    "text_quality_stats",
+    "lang_rollup",
+    "exact_dedup",
+    "fingerprints",
+    "cer_per_lang",
+    "trigram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_dup_pairs",
+    "simhash64",
+    "event_gaps",
+    "event_rollup",
+    "lineitem_rollup",
+    "top_customers",
+    "discount_grid_argmax",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _words():
+    """text -> words array Column (lazy: needs an active session)."""
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+# ------------------------------------------------------- quality / langid
+
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style counters, restricted to the SQL-exact subset."""
+    docs = load(spark, sf_dir, "documents")
+    nw = F.size(_words())
+    compact = F.regexp_replace(F.col("text"), r"\s+", "")
+    return docs.select(
+        "doc_id",
+        "lang",
+        nw.alias("n_words"),
+        F.length("text").alias("n_chars_obs"),
+        F.length(compact).alias("n_letters"),
+        (F.length(compact).cast("double") / nw.cast("double")).alias("mean_word_len"),
+        F.size(F.array_distinct(_words())).alias("n_uniq_words"),
+        (F.size(F.array_distinct(_words())).cast("double") / nw.cast("double")).alias(
+            "uniq_word_frac"
+        ),
+    )
+
+
+def lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (A3/A4 analog: counts per label)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_words())).alias("total_words"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------- dedup
+
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents UNION a copy with offset ids — deterministic dup plant
+    (the driver corpus has no natural dups)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    copy = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text", "lang"
+    )
+    return docs.unionByName(copy)
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5(text): winner = min(doc_id), dup_count.
+    Salted two-phase aggregation (same pattern as qfilter.dedup)."""
+    dup = _docs_with_planted_dups(spark, sf_dir)
+    salted = dup.select(
+        F.md5("text").alias("h"),
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(16)).alias("_salt"),
+    )
+    partial = salted.groupBy("h", "_salt").agg(
+        F.min("doc_id").alias("_m"), F.count(F.lit(1)).alias("_c")
+    )
+    return partial.groupBy("h").agg(
+        F.min("_m").alias("keep_id"), F.sum("_c").alias("dup_count")
+    )
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit-hex document fingerprint (md5 prefix of normalized text)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5(F.lower(F.trim(F.col("text")))), 1, 16).alias("fingerprint"),
+    )
+
+
+# ------------------------------------------------------------------ CER
+
+def cer_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted macro CER (A5): hypothesis = vowel-stripped text vs
+    reference text, joined by doc_id (J1 filename-join analog),
+    aggregated per lang as sum(lev) / sum(ref_len) components."""
+    docs = load(spark, sf_dir, "documents")
+    hyp = docs.select(
+        "doc_id", F.regexp_replace("text", "[aeiou]", "").alias("hyp_text")
+    )
+    ref = docs.select("doc_id", "lang", F.col("text").alias("ref_text"))
+    joined = ref.join(hyp, "doc_id", "inner")
+    return joined.groupBy("lang").agg(
+        F.sum(F.levenshtein("hyp_text", "ref_text")).alias("sum_lev"),
+        F.sum(F.length("ref_text")).alias("sum_ref_len"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# --------------------------------------------------------- near-dup ops
+
+def _doc_trigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct word-3-gram shingles per doc."""
+    words = docs.select("doc_id", _words().alias("ws")).filter(F.size("ws") >= 3)
+    tri = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(ws) - 3, -1)),"
+                " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+            )
+        ).alias("shingle"),
+    )
+    return tri.distinct()
+
+
+def trigram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs.  Dup plant: each doc vs a
+    copy truncated to its first 80% of words (id + 1e6) => known
+    overlapping pairs.  Shingle equi-join, then filter on jaccard."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    trunc = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(_words(), 1, F.greatest(F.floor(F.size(_words()) * 0.8), F.lit(1)).cast("int")),
+        ).alias("text"),
+    )
+    all_docs = docs.unionByName(trunc)
+    tri = _doc_trigrams(all_docs).cache()
+    sizes = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = tri.alias("a")
+    b = tri.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"))
+    j = (
+        inter.join(sa, "id1").join(sb, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "n_inter", "n1", "n2", "jaccard")
+    )
+    return j
+
+
+def _minhash_coeffs(n_perm: int):
+    """Deterministic well-mixed 31-bit (a, b) pairs — weak multipliers
+    (2i+1) correlate the per-permutation minima and bias the estimate."""
+    import numpy as np
+
+    rng = np.random.default_rng(np.random.PCG64(11))
+    a = [int(x) | 1 for x in rng.integers(1, 2**31 - 1, size=n_perm)]
+    b = [int(x) for x in rng.integers(0, 2**31 - 1, size=n_perm)]
+    return a, b
+
+
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, n_perm: int = 32
+) -> DataFrame:
+    """MinHash signatures over word-3-gram shingles.
+
+    h_i(s) = (a_i * xxhash64(s) + b_i) mod p  — all inside the JVM
+    (xxhash64 + arithmetic), no UDF.  Deterministic coefficient table.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tri = _doc_trigrams(docs)
+    # p = 2^31-1 keeps a_i * x + b_i well inside int64 (ANSI mode errors
+    # on overflow rather than wrapping)
+    p = 2147483647
+    hashed = tri.select(
+        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(p)).alias("x")
+    )
+    a, b = _minhash_coeffs(n_perm)
+    aggs = [
+        F.min(F.pmod(F.lit(a[i]) * F.col("x") + F.lit(b[i]), F.lit(p))).alias(f"mh{i}")
+        for i in range(n_perm)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_dup_pairs(
+    spark: SparkSession, sf_dir: str, n_perm: int = 32, bands: int = 8
+) -> DataFrame:
+    """MinHash LSH candidate pairs: band the signature (bands x r),
+    bucket-join on (band, banded-signature hash), estimate jaccard as
+    matching-minhash fraction.  Dup plant as in trigram_jaccard_pairs."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    trunc = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(_words(), 1, F.greatest(F.floor(F.size(_words()) * 0.8), F.lit(1)).cast("int")),
+        ).alias("text"),
+    )
+    all_docs = docs.unionByName(trunc)
+
+    tri = _doc_trigrams(all_docs)
+    p = 2147483647
+    hashed = tri.select("doc_id", F.pmod(F.xxhash64("shingle"), F.lit(p)).alias("x"))
+    a, b = _minhash_coeffs(n_perm)
+    aggs = [
+        F.min(F.pmod(F.lit(a[i]) * F.col("x") + F.lit(b[i]), F.lit(p))).alias(f"mh{i}")
+        for i in range(n_perm)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*aggs).cache()
+
+    r = n_perm // bands
+    banded = None
+    for b in range(bands):
+        cols = [F.col(f"mh{b * r + k}") for k in range(r)]
+        part = sig.select(
+            "doc_id", F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket")
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.alias("a")
+    c = banded.alias("b")
+    cand = (
+        a.join(c, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    s1 = sig.select(F.col("doc_id").alias("id1"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_perm)])
+    s2 = sig.select(F.col("doc_id").alias("id2"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_perm)])
+    match_frac = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(n_perm)
+    ) / F.lit(float(n_perm))
+    return (
+        cand.join(s1, "id1").join(s2, "id2")
+        .select("id1", "id2", match_frac.alias("est_jaccard"))
+    )
+
+
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document — pure DataFrame ops: explode words,
+    xxhash64 per word, per-bit +-1 votes, sign -> bit."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.explode(_words()).alias("word")
+    ).withColumn("h", F.xxhash64("word"))
+    bits = words.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, 63)")).alias("bit"),
+        F.col("h"),
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(shiftrightunsigned(h, bit) & 1L) = 1L"), 1).otherwise(-1),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+# --------------------------------------------------------------- events
+
+def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 analog: per-user lag over ts; positive gap stats per user."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond diffs are integer-exact and timezone-free on naive
+    # timestamps (second-granularity functions disagree across engines
+    # on sub-second rounding vs boundary counting)
+    gaps = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "gap_us", F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    )
+    return gaps.filter(F.col("gap_us").isNotNull()).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_us").alias("sum_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum((F.col("gap_us") > 3600 * 1000000).cast("int")).alias("n_gaps_gt_1h"),
+    )
+
+
+def event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------- TPC-H-ish
+
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 rollup analog (TPC-H Q1 shape) with decimal sums."""
+    li = load(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (d("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - d("l_discount"))).cast(
+                    "decimal(28,8)"
+                )
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def top_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Join + top-k (J2/A8 analog): customers by decimal order total."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        joined.groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total_spent"),
+        )
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def discount_grid_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 grid-search argmax analog: best (qty_max, disc_min) cell by
+    decimal revenue over a small parameter grid (crossJoin eval)."""
+    li = load(spark, sf_dir, "lineitem")
+    grid = spark.createDataFrame(
+        [(q, d_ / 100.0) for q in (10, 20, 30, 40) for d_ in (2, 4, 6, 8)],
+        ["qty_max", "disc_min"],
+    )
+    revenue = (
+        li.crossJoin(F.broadcast(grid))
+        .filter((F.col("l_quantity") < F.col("qty_max")) & (F.col("l_discount") >= F.col("disc_min")))
+        .groupBy("qty_max", "disc_min")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,4)") * F.col("l_discount").cast("decimal(18,4)")).cast(
+                    "decimal(28,8)"
+                )
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return revenue.orderBy(F.desc("revenue"), "qty_max", "disc_min").limit(1)

@@ -1,0 +1,161 @@
+"""Embedding similarity search over the `embeddings` table.
+
+Three tiers (SURVEY extension ops, north-rule "similarity search"):
+
+* `cosine_topk`          — brute-force all-pairs top-k; the exactness
+  baseline.  Dot products via `aggregate`/`zip_with` higher-order
+  functions — JVM-side, left-to-right double accumulation so the
+  DuckDB oracle (same fold order) is bit-identical.
+* `cosine_topk_bucketed` — IVF-style: search only within the coarse
+  bucket (the `label` column stands in for a centroid assignment);
+  this is the 100 TB shape — candidates drop by ~n_buckets x, and the
+  bucket key is the shuffle/partition key.
+* `lsh_ann_topk`         — random-hyperplane SimHash LSH: 16-bit
+  signatures via a vectorized pandas UDF (numpy matmul), bucket join,
+  exact re-rank inside buckets.  Approximate: recall measured in
+  tests against the brute-force baseline.
+
+Output columns are (q, rank, n) id/int rows — no floating scores in
+the comparison surface, so oracle hashing is stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+__all__ = [
+    "cosine_topk",
+    "cosine_topk_bucketed",
+    "lsh_ann_topk",
+    "embedding_norms",
+    "LSH_SEED",
+    "LSH_PLANES",
+]
+
+LSH_SEED = 7
+LSH_TABLES = 8   # L independent hash tables (union of candidates)
+LSH_PLANES = 4   # m hyperplanes per table -> 2^m buckets each
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return df.withColumn(
+        "v", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+
+
+_DOT = (
+    "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double),"
+    " (acc, x) -> acc + x)"
+)
+_NORM = "sqrt(aggregate(transform({c}, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x))"
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row L2 norm (deterministic row-wise fold)."""
+    e = _emb(spark, sf_dir)
+    return e.select("vec_id", "label", F.expr(_NORM.format(c="v")).alias("norm"))
+
+
+def _rank_topk(pairs: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("n"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q", "rank", "n")
+    )
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Brute-force cosine top-k neighbors per vector (self excluded)."""
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    a = e.select(F.col("vec_id").alias("q"), F.col("v")).alias("a")
+    b = e.select(F.col("vec_id").alias("n"), F.col("v")).alias("b")
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("q") != F.col("n"))
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn("na", F.expr(_NORM.format(c="a.v")))
+        .withColumn("nb", F.expr(_NORM.format(c="b.v")))
+        .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
+        .select("q", "n", "cos")
+    )
+    return _rank_topk(pairs, k)
+
+
+def cosine_topk_bucketed(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """IVF-style: neighbors only within the same coarse bucket (label).
+
+    At scale the bucket is the join/shuffle key: candidates per query
+    drop from N to N/buckets, and both sides co-partition on it.
+    """
+    e = _emb(spark, sf_dir).select("vec_id", "label", "v")
+    a = e.select(F.col("vec_id").alias("q"), F.col("label").alias("lb"), "v").alias("a")
+    b = e.select(F.col("vec_id").alias("n"), F.col("label").alias("lb"), "v").alias("b")
+    pairs = (
+        a.join(b, "lb")
+        .filter(F.col("q") != F.col("n"))
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn("na", F.expr(_NORM.format(c="a.v")))
+        .withColumn("nb", F.expr(_NORM.format(c="b.v")))
+        .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
+        .select("q", "n", "cos")
+    )
+    return _rank_topk(pairs, k)
+
+
+def _planes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(np.random.PCG64(LSH_SEED))
+    return rng.standard_normal((LSH_TABLES * LSH_PLANES, dim))
+
+
+@F.pandas_udf(T.ArrayType(T.IntegerType()))
+def _lsh_buckets_udf(emb: pd.Series) -> pd.Series:
+    """L bucket ids per vector (one per hash table), vectorized matmul."""
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+    planes = _planes(mat.shape[1])
+    bits = (mat @ planes.T) > 0.0  # (n, L*m)
+    bits = bits.reshape(len(mat), LSH_TABLES, LSH_PLANES)
+    vals = (bits * (1 << np.arange(LSH_PLANES))).sum(axis=2)
+    return pd.Series(list(vals.astype(np.int32)))
+
+
+def lsh_ann_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH (L tables
+    of m planes; candidates = union over tables), exact cosine rerank.
+
+    Scale path: (table, bucket) is the shuffle key; m tunes bucket
+    size (candidates/query ~ L * n / 2^m), L tunes recall."""
+    e = _emb(spark, sf_dir).select("vec_id", "v").withColumn(
+        "buckets", _lsh_buckets_udf(F.col("v"))
+    )
+    tabs = e.select(
+        "vec_id", "v", F.posexplode("buckets").alias("tab", "bucket")
+    )
+    a = tabs.select(F.col("vec_id").alias("q"), "tab", "bucket", "v").alias("a")
+    b = tabs.select(F.col("vec_id").alias("n"), "tab", "bucket", "v").alias("b")
+    cand = (
+        a.join(b, ["tab", "bucket"])
+        .filter(F.col("q") != F.col("n"))
+        .select("q", "n", F.col("a.v").alias("av"), F.col("b.v").alias("bv"))
+        .dropDuplicates(["q", "n"])
+    )
+    pairs = (
+        cand.withColumn(
+            "dot",
+            F.expr(
+                "aggregate(zip_with(av, bv, (x, y) -> x * y), cast(0.0 as double),"
+                " (acc, x) -> acc + x)"
+            ),
+        )
+        .withColumn("na", F.expr(_NORM.format(c="av")))
+        .withColumn("nb", F.expr(_NORM.format(c="bv")))
+        .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
+        .select("q", "n", "cos")
+    )
+    return _rank_topk(pairs, k)

@@ -1,0 +1,109 @@
+"""Semantic tests for the approximate ops (the ones without SQL
+oracles): MinHash vs exact Jaccard, LSH ANN recall, SimHash locality,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_estimates_jaccard(spark):
+    """Planted 80%-truncation pairs: MinHash estimate within 0.25 of the
+    exact trigram Jaccard for every recovered pair; recall >= 0.8."""
+    from qfilter.corpus import minhash_lsh_dup_pairs, trigram_jaccard_pairs
+
+    exact = {
+        (r.id1, r.id2): r.jaccard
+        for r in trigram_jaccard_pairs(spark, SF, threshold=0.5).collect()
+    }
+    est = {
+        (r.id1, r.id2): r.est_jaccard
+        for r in minhash_lsh_dup_pairs(spark, SF).collect()
+    }
+    assert exact, "no planted near-dup pairs found"
+    hits = set(exact) & set(est)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall} over {len(exact)} pairs"
+    for k in hits:
+        assert abs(exact[k] - est[k]) <= 0.25, (k, exact[k], est[k])
+
+
+def test_simhash_locality(spark):
+    """A doc and its 80%-truncated copy have closer simhashes than two
+    random docs, on average."""
+    from qfilter.corpus import simhash64
+    from qfilter.corpus import load, _words
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    trunc = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(_words(), 1, F.greatest(F.floor(F.size(_words()) * 0.8), F.lit(1)).cast("int"))
+        ).alias("text"),
+    )
+    import tempfile
+
+    union_path = tempfile.mkdtemp(prefix="simhash_") + "/documents.parquet"
+    docs.unionByName(trunc).write.parquet(union_path)
+    sh = {r.doc_id: r.simhash for r in simhash64(spark, union_path.rsplit("/", 1)[0]).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    ids = sorted(i for i in sh if i < 1_000_000)
+    near = [ham(sh[i], sh[i + 1_000_000]) for i in ids if i + 1_000_000 in sh]
+    far = [ham(sh[ids[i]], sh[ids[(i + 7) % len(ids)]]) for i in range(len(ids))]
+    assert np.mean(near) < np.mean(far) - 5
+
+
+def test_lsh_ann_recall(spark):
+    """LSH ANN recall@5 vs brute force >= 0.35 on random vectors (16
+    hyperplanes; random embeddings are the worst case for LSH)."""
+    from qfilter.similarity import cosine_topk, lsh_ann_topk
+
+    exact = cosine_topk(spark, SF, k=5).collect()
+    approx = lsh_ann_topk(spark, SF, k=5).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.q, set()).add(r.n)
+    got = {}
+    for r in approx:
+        got.setdefault(r.q, set()).add(r.n)
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    assert np.mean(recalls) >= 0.35, np.mean(recalls)
+
+
+def test_multimodal_plumbing(spark):
+    import __spark_entry__ as E
+
+    audio = E.queries()["mm_audio_features"](spark, SF)
+    rows = audio.collect()
+    assert len(rows) == 64
+    assert all(r.error is None for r in rows)
+    assert all(0.0 < r.rms <= 1.01 for r in rows)
+    # square waves (every 3rd) are louder than their sine siblings
+    sq = np.mean([r.rms for i, r in enumerate(rows) if i % 3 == 0])
+    sn = np.mean([r.rms for i, r in enumerate(rows) if i % 3 != 0])
+    assert sq > sn
+
+    video = E.queries()["mm_video_frames"](spark, SF)
+    vrows = video.collect()
+    assert len(vrows) == 16 * 4  # 20 frames sampled every 5
+    assert all(v.error is None for v in vrows)
+    assert all(100 < v.mean_brightness < 155 for v in vrows)  # uniform noise
+
+
+def test_audio_error_channel(spark):
+    from qfilter.multimodal import audio_features
+
+    df = spark.createDataFrame(
+        [("bad0", bytearray(b"\x01"), 8000, 1)],
+        "audio_id string, pcm binary, sample_rate int, channels int",
+    )
+    rows = audio_features(df).collect()
+    # odd byte count -> frombuffer error -> error channel, no task failure
+    assert rows[0].error is not None
