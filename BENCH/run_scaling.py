@@ -38,7 +38,11 @@ from qfilter.features import with_all_features
 spark = get_spark(app=f"scale{cpus}", master=f"local[{cpus}]")
 spark.sparkContext.setLogLevel("ERROR")
 tdir = ensure_fixtures(tier)
-images = spark.read.parquet(os.path.join(tdir, "images.parquet"))
+images = (
+    spark.read.parquet(os.path.join(tdir, "images.parquet"))
+    .repartition(cpus * 3, "image_id")
+    .persist()
+)
 n = images.count()
 walls = []
 for r in range(runs + 1):  # first run = warm-up, discarded

@@ -46,7 +46,15 @@ def run_suite(spark, sf_dir: str, tier: str) -> tuple[dict, int]:
     from qfilter.features import with_all_features
 
     tdir = ensure_fixtures(tier)
-    images = spark.read.parquet(os.path.join(tdir, "images.parquet"))
+    # explicit hash partitioning on the row key (north rule): the raw
+    # fixture is one parquet file -> too few input splits for the UDF
+    # stage; a real deployment reads an already-bucketed Iceberg table
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    images = (
+        spark.read.parquet(os.path.join(tdir, "images.parquet"))
+        .repartition(cpus * 3, "image_id")
+        .persist()
+    )
     n_images = images.count()
 
     timings: dict[str, float] = {}

@@ -109,10 +109,29 @@ def _window_view(gray: np.ndarray, kh: int, kw: int) -> np.ndarray:
 
 
 def median3(gray: np.ndarray) -> np.ndarray:
-    """3x3 median (cv2.medianBlur(g, 3) analogue)."""
+    """3x3 median (cv2.medianBlur(g, 3) analogue).
+
+    Median-of-9 sorting network over the 9 shifted planes — ~10x
+    faster than np.median over a sliding-window view, bit-identical.
+    """
     if gray.shape[0] < 3 or gray.shape[1] < 3:
         return gray.copy()
-    return np.median(_window_view(gray, 3, 3), axis=(2, 3)).astype(np.uint8)
+    p = np.pad(gray, 1, mode="edge")
+    h, w = gray.shape
+    v = [p[y : y + h, x : x + w] for y in range(3) for x in range(3)]
+
+    def ex(i, j):
+        v[i], v[j] = np.minimum(v[i], v[j]), np.maximum(v[i], v[j])
+
+    # classic 19-exchange median-of-9 network (Smith, Graphics Gems)
+    ex(1, 2); ex(4, 5); ex(7, 8)
+    ex(0, 1); ex(3, 4); ex(6, 7)
+    ex(1, 2); ex(4, 5); ex(7, 8)
+    ex(0, 3); ex(5, 8); ex(4, 7)
+    ex(3, 6); ex(1, 4); ex(2, 5)
+    ex(4, 7); ex(4, 2); ex(6, 4)
+    ex(4, 2)
+    return v[4]
 
 
 def otsu_threshold(gray: np.ndarray) -> int:
@@ -144,14 +163,34 @@ def adaptive_threshold_inv(gray: np.ndarray, block: int, c: float) -> np.ndarray
 
 # --------------------------------------------------------- morphology
 
+def _vanherk_1d(a: np.ndarray, k: int, op, identity: int) -> np.ndarray:
+    """Moving min/max over the LAST axis, window k centered, edge-
+    padded — van Herk/Gil-Werman, O(1) per pixel for any k."""
+    pad_l, pad_r = k // 2, k - 1 - k // 2
+    ap = np.pad(a, [(0, 0)] * (a.ndim - 1) + [(pad_l, pad_r)], mode="edge")
+    n = ap.shape[-1]
+    nblocks = -(-n // k)
+    full = nblocks * k
+    buf = np.full(ap.shape[:-1] + (full,), identity, dtype=a.dtype)
+    buf[..., :n] = ap
+    blocks = buf.reshape(a.shape[:-1] + (nblocks, k))
+    fwd = op.accumulate(blocks, axis=-1).reshape(a.shape[:-1] + (full,))
+    bwd = op.accumulate(blocks[..., ::-1], axis=-1)[..., ::-1].reshape(
+        a.shape[:-1] + (full,)
+    )
+    w = a.shape[-1]
+    idx = np.arange(w)
+    return op(bwd[..., idx], fwd[..., idx + k - 1])
+
+
 def _minmax_1d(binary: np.ndarray, k: int, axis: int, op) -> np.ndarray:
     if k <= 1:
         return binary
+    ufunc = np.maximum if op is np.max else np.minimum
+    identity = 0 if op is np.max else 255
     if axis == 1:
-        v = _window_view(binary, 1, k)
-    else:
-        v = _window_view(binary, k, 1)
-    return op(v, axis=(2, 3))
+        return _vanherk_1d(binary, k, ufunc, identity)
+    return _vanherk_1d(binary.T, k, ufunc, identity).T
 
 
 def erode(binary: np.ndarray, kh: int, kw: int) -> np.ndarray:
@@ -205,68 +244,83 @@ def connected_components(binary: np.ndarray):
     Returns a list of dicts: {area (pixel count), bbox (x1, y1, x2, y2
     exclusive), sum_x, sum_y, sxx, syy, sxy} — enough for bounding boxes
     and PCA orientation without storing pixel lists.
+
+    Vectorized: all runs extracted in one diff pass; per-row overlap
+    matching via searchsorted (runs within a row are sorted and
+    disjoint); per-component stats via bincount over resolved roots.
     """
     h, w = binary.shape
     mask = binary != 0
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = mask
+    d = np.diff(padded, axis=1)
+    sy, sx = np.nonzero(d == 1)    # run starts (row-major order)
+    _, ex = np.nonzero(d == -1)    # run ends (exclusive), same order
+    n_runs = len(sy)
+    if n_runs == 0:
+        return []
+
+    row_off = np.searchsorted(sy, np.arange(h + 1))
     dsu = _DSU()
-    # runs per row: (start, end-exclusive, label)
-    prev_runs: list[tuple[int, int, int]] = []
-    stats: list[list[float]] = []  # per root later; accumulate per run label
-
-    run_rows: list[tuple[int, int, int, int]] = []  # (y, start, end, label)
-    for y in range(h):
-        row = mask[y]
-        if not row.any():
-            prev_runs = []
+    dsu.parent = list(range(n_runs))
+    find, union = dsu.find, dsu.union
+    for y in range(1, h):
+        lo0, hi0 = row_off[y], row_off[y + 1]
+        if lo0 == hi0:
             continue
-        d = np.diff(row.astype(np.int8))
-        starts = list(np.flatnonzero(d == 1) + 1)
-        ends = list(np.flatnonzero(d == -1) + 1)
-        if row[0]:
-            starts = [0] + starts
-        if row[-1]:
-            ends = ends + [w]
-        cur_runs: list[tuple[int, int, int]] = []
-        pi = 0
-        for s, e in zip(starts, ends):
-            label = dsu.make()
-            # 8-connectivity: overlap with previous-row runs expanded by 1
-            for ps, pe, pl in prev_runs:
-                if ps - 1 < e and pe + 1 > s:
-                    dsu.union(label, pl)
-            cur_runs.append((s, e, label))
-            run_rows.append((y, s, e, label))
-        prev_runs = cur_runs
-        del pi
+        plo, phi = row_off[y - 1], row_off[y]
+        if plo == phi:
+            continue
+        ps, pe = sx[plo:phi], ex[plo:phi]
+        for i in range(lo0, hi0):
+            s, e = sx[i], ex[i]
+            # 8-conn overlap: prev start <= e and prev end >= s
+            jlo = plo + np.searchsorted(pe, s, side="left")
+            jhi = plo + np.searchsorted(ps, e, side="right")
+            for j in range(jlo, jhi):
+                union(i, j)
 
-    comps: dict[int, dict] = {}
-    for y, s, e, label in run_rows:
-        r = dsu.find(label)
-        c = comps.get(r)
-        n = e - s
-        xs = (s + e - 1) * n / 2.0  # sum of x over run
-        # sum of x^2 over [s, e): use formula
-        sx2 = ((e - 1) * e * (2 * e - 1) - (s - 1) * s * (2 * s - 1)) / 6.0
-        if c is None:
-            comps[r] = c = {
-                "area": 0, "x1": s, "y1": y, "x2": e, "y2": y + 1,
-                "sum_x": 0.0, "sum_y": 0.0, "sxx": 0.0, "syy": 0.0, "sxy": 0.0,
-            }
-        c["area"] += n
-        c["x1"] = min(c["x1"], s)
-        c["x2"] = max(c["x2"], e)
-        c["y1"] = min(c["y1"], y)
-        c["y2"] = max(c["y2"], y + 1)
-        c["sum_x"] += xs
-        c["sum_y"] += y * n
-        c["sxx"] += sx2
-        c["syy"] += y * y * n
-        c["sxy"] += y * xs
-    out = []
-    for c in comps.values():
-        c["bbox"] = (c["x1"], c["y1"], c["x2"], c["y2"])
-        out.append(c)
-    return out
+    roots = np.fromiter((find(i) for i in range(n_runs)), dtype=np.int64,
+                        count=n_runs)
+    uniq, inv = np.unique(roots, return_inverse=True)
+    k = len(uniq)
+
+    sxf = sx.astype(np.float64)
+    exf = ex.astype(np.float64)
+    syf = sy.astype(np.float64)
+    n = exf - sxf
+    run_sum_x = (sxf + exf - 1.0) * n / 2.0
+    run_sx2 = (
+        (exf - 1.0) * exf * (2.0 * exf - 1.0)
+        - (sxf - 1.0) * sxf * (2.0 * sxf - 1.0)
+    ) / 6.0
+
+    area = np.bincount(inv, weights=n, minlength=k)
+    sum_x = np.bincount(inv, weights=run_sum_x, minlength=k)
+    sum_y = np.bincount(inv, weights=syf * n, minlength=k)
+    sxx = np.bincount(inv, weights=run_sx2, minlength=k)
+    syy = np.bincount(inv, weights=syf * syf * n, minlength=k)
+    sxy = np.bincount(inv, weights=syf * run_sum_x, minlength=k)
+    x1 = np.full(k, w, dtype=np.int64)
+    x2 = np.zeros(k, dtype=np.int64)
+    y1 = np.full(k, h, dtype=np.int64)
+    y2 = np.zeros(k, dtype=np.int64)
+    np.minimum.at(x1, inv, sx)
+    np.maximum.at(x2, inv, ex)
+    np.minimum.at(y1, inv, sy)
+    np.maximum.at(y2, inv, sy + 1)
+
+    return [
+        {
+            "area": int(area[i]),
+            "bbox": (int(x1[i]), int(y1[i]), int(x2[i]), int(y2[i])),
+            "x1": int(x1[i]), "y1": int(y1[i]),
+            "x2": int(x2[i]), "y2": int(y2[i]),
+            "sum_x": float(sum_x[i]), "sum_y": float(sum_y[i]),
+            "sxx": float(sxx[i]), "syy": float(syy[i]), "sxy": float(sxy[i]),
+        }
+        for i in range(k)
+    ]
 
 
 def _component_angle_deg(c: dict) -> float:
