@@ -196,6 +196,47 @@ def _mm_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_features(df, every_n=5)
 
 
+
+def _qf_base_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base cascade (classificator_paddleocr.py:243-269) over the same
+    features — oracle is the cascade transcribed as SQL CASE."""
+    from qfilter.cascade import base_category, base_reason
+    from qfilter.features import with_all_features
+
+    feats = with_all_features(_fixture_images(spark))
+    return feats.filter(F.col("error").isNull()).select(
+        "image_id",
+        base_category().alias("category"),
+        base_reason().alias("reason"),
+    )
+
+
+def _qf_easyocr_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EasyOCR-recalibrated cascade (classificator_easyocr.py:256-297)."""
+    from qfilter.cascade import easyocr_category, easyocr_reason
+    from qfilter.features import with_all_features
+
+    feats = with_all_features(_fixture_images(spark))
+    return feats.filter(F.col("error").isNull()).select(
+        "image_id",
+        easyocr_category().alias("category"),
+        easyocr_reason().alias("reason"),
+    )
+
+
+def _qf_tuning_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning 4-way rule (tune_extended_classifier.py:81-97)
+    at one fixed parameter point."""
+    from qfilter.cascade import tuning_category
+    from qfilter.features import with_all_features
+
+    feats = with_all_features(_fixture_images(spark))
+    return feats.filter(F.col("error").isNull()).select(
+        "image_id",
+        tuning_category(0.2, 0.5, 30.0, 75.0, 0.02, 0.1, 40.0, 120.0).alias("category"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from qfilter import corpus, similarity
 
@@ -207,6 +248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_dedup_winners": _qf_dedup_winners,
         "qf_neardup_pairs": _qf_neardup_pairs,
         "qf_dark_rollup": _qf_dark_rollup,
+        "qf_base_labels": _qf_base_labels,
+        "qf_easyocr_labels": _qf_easyocr_labels,
+        "qf_tuning_labels": _qf_tuning_labels,
         # --- corpus text analytics over `documents` ---
         "text_quality_stats": corpus.text_quality_stats,
         "lang_rollup": corpus.lang_rollup,
@@ -291,6 +335,109 @@ def oracle_sql() -> dict[str, str]:
         "qf_dark_rollup": (
             f"SELECT is_dark, regexp_extract(dark_reason, '^([a-z_]+)', 1) AS dark_rule, "
             f"count(*) AS n FROM read_parquet('{labels_ref}') GROUP BY 1, 2"
+        ),
+        "qf_base_labels": (
+            f"""
+            SELECT image_id,
+              CASE
+                WHEN roi_frac < 0.45 THEN 'trash'
+                WHEN avg_skew_deg >= 12.0 THEN 'trash'
+                WHEN median_ocr_conf < 25 AND pct80 < 0.10 THEN 'trash'
+                WHEN avg_blur < 120 AND pct80 < 0.20 THEN 'trash'
+                WHEN core_frac < 0.12 AND pct80 < 0.25 AND avg_blur < 260
+                     AND median_ocr_conf < 55 THEN 'trash'
+                WHEN is_table_like AND median_ocr_conf >= 65 AND pct80 >= 0.45
+                     AND avg_blur >= 800 THEN 'good'
+                WHEN is_table_like AND median_ocr_conf >= 55 AND pct80 >= 0.30
+                     AND avg_blur >= 220 THEN 'medium'
+                WHEN is_table_like THEN 'failed'
+                WHEN median_ocr_conf >= 90 AND pct80 >= 0.55 AND avg_blur >= 300
+                     THEN 'good'
+                WHEN median_ocr_conf >= 70 AND pct80 >= 0.35 THEN 'medium'
+                ELSE 'failed'
+              END AS category,
+              CASE
+                WHEN roi_frac < 0.45 THEN 'roi<min'
+                WHEN avg_skew_deg >= 12.0 THEN 'skew_bad'
+                WHEN median_ocr_conf < 25 AND pct80 < 0.10 THEN 'ocr_dead'
+                WHEN avg_blur < 120 AND pct80 < 0.20 THEN 'blur_dead'
+                WHEN core_frac < 0.12 AND pct80 < 0.25 AND avg_blur < 260
+                     AND median_ocr_conf < 55 THEN 'miniature_poor'
+                WHEN is_table_like AND median_ocr_conf >= 65 AND pct80 >= 0.45
+                     AND avg_blur >= 800 THEN 'table_strong'
+                WHEN is_table_like AND median_ocr_conf >= 55 AND pct80 >= 0.30
+                     AND avg_blur >= 220 THEN 'table_ok'
+                WHEN is_table_like THEN 'table_weak'
+                WHEN median_ocr_conf >= 90 AND pct80 >= 0.55 AND avg_blur >= 300
+                     THEN 'text_strong'
+                WHEN median_ocr_conf >= 70 AND pct80 >= 0.35 THEN 'text_ok'
+                ELSE 'text_weak'
+              END AS reason
+            FROM read_parquet('{labels_ref}') WHERE error IS NULL
+            """
+        ),
+        "qf_easyocr_labels": (
+            f"""
+            SELECT image_id,
+              CASE
+                WHEN roi_frac < 0.45 THEN 'trash'
+                WHEN avg_skew_deg >= 12.0 THEN 'trash'
+                WHEN words_count < 10 AND median_ocr_conf < 10 AND pct80 < 0.05 THEN 'trash'
+                WHEN avg_blur < 120 AND pct80 < 0.10 THEN 'trash'
+                WHEN core_frac < 0.12 AND pct80 < 0.15 AND avg_blur < 260
+                     AND median_ocr_conf < 20 THEN 'trash'
+                WHEN is_table_like AND median_ocr_conf >= 40 AND pct80 >= 0.20
+                     AND avg_blur >= 800 AND words_count >= 50 THEN 'good'
+                WHEN is_table_like AND median_ocr_conf >= 20 AND pct80 >= 0.08
+                     AND avg_blur >= 220 AND words_count >= 20 THEN 'medium'
+                WHEN is_table_like AND words_count >= 30 THEN 'medium'
+                WHEN is_table_like THEN 'failed'
+                WHEN median_ocr_conf >= 60 AND pct80 >= 0.30 AND avg_blur >= 800 THEN 'good'
+                WHEN median_ocr_conf >= 35 AND pct80 >= 0.15 AND avg_blur >= 400
+                     AND words_count >= 30 THEN 'medium'
+                WHEN median_ocr_conf >= 20 AND pct80 >= 0.08 AND avg_blur >= 200
+                     AND words_count >= 20 THEN 'medium'
+                WHEN words_count >= 50 THEN 'medium'
+                ELSE 'failed'
+              END AS category,
+              CASE
+                WHEN roi_frac < 0.45 THEN 'roi<min'
+                WHEN avg_skew_deg >= 12.0 THEN 'skew_bad'
+                WHEN words_count < 10 AND median_ocr_conf < 10 AND pct80 < 0.05 THEN 'ocr_dead'
+                WHEN avg_blur < 120 AND pct80 < 0.10 THEN 'blur_dead'
+                WHEN core_frac < 0.12 AND pct80 < 0.15 AND avg_blur < 260
+                     AND median_ocr_conf < 20 THEN 'miniature_poor'
+                WHEN is_table_like AND median_ocr_conf >= 40 AND pct80 >= 0.20
+                     AND avg_blur >= 800 AND words_count >= 50 THEN 'table_strong'
+                WHEN is_table_like AND median_ocr_conf >= 20 AND pct80 >= 0.08
+                     AND avg_blur >= 220 AND words_count >= 20 THEN 'table_ok'
+                WHEN is_table_like AND words_count >= 30 THEN 'table_readable'
+                WHEN is_table_like THEN 'table_weak'
+                WHEN median_ocr_conf >= 60 AND pct80 >= 0.30 AND avg_blur >= 800 THEN 'text_strong'
+                WHEN median_ocr_conf >= 35 AND pct80 >= 0.15 AND avg_blur >= 400
+                     AND words_count >= 30 THEN 'text_good'
+                WHEN median_ocr_conf >= 20 AND pct80 >= 0.08 AND avg_blur >= 200
+                     AND words_count >= 20 THEN 'text_ok'
+                WHEN words_count >= 50 THEN 'text_readable'
+                ELSE 'text_weak'
+              END AS reason
+            FROM read_parquet('{labels_ref}') WHERE error IS NULL
+            """
+        ),
+        "qf_tuning_labels": (
+            f"""
+            SELECT image_id,
+              CASE
+                WHEN pct80 < 0.2 OR median_ocr_conf < 30.0
+                     OR bbox_area_text_frac < 0.02 THEN 'failed'
+                WHEN conf_iqr > 40.0 AND pct80 < 0.4 THEN 'failed'
+                WHEN line_height_var > 120.0 AND median_ocr_conf < 70 THEN 'medium'
+                WHEN pct80 >= 0.5 AND median_ocr_conf >= 75.0
+                     AND bbox_area_text_frac >= 0.1 AND conf_iqr <= 25 THEN 'good'
+                ELSE 'medium'
+              END AS category
+            FROM read_parquet('{labels_ref}') WHERE error IS NULL
+            """
         ),
         "text_quality_stats": """
             SELECT doc_id, lang,

@@ -1,0 +1,100 @@
+"""spark-submit entry point.
+
+    spark-submit --py-files qfilter.zip --files artifacts/* \
+        -m qfilter.cli run --input <images parquet> --out <dir>
+
+Subcommands:
+  run / resume     batch pipeline with per-partition lineage (resume
+                   picks up after the last committed partition)
+  stream           Structured Streaming drain of a landing directory
+  status           committed/pending partition counts
+  build-artifacts  serialize the text bundle (langid.npz, lm.npz,
+                   scrub.json) for --files distribution
+  bench            the repo benchmark (one JSON line)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="qfilter")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run_p = sub.add_parser("run", help="run (or resume) the quality filter")
+    run_p.add_argument("--input", help="images parquet path (omit to resume)")
+    run_p.add_argument("--out", required=True)
+    run_p.add_argument("--n-parts", type=int, default=256)
+    run_p.add_argument("--wave-size", type=int, default=32)
+    run_p.add_argument("--run-id", default="run0")
+    run_p.add_argument("--master", default=None)
+
+    st_p = sub.add_parser("status")
+    st_p.add_argument("--out", required=True)
+    st_p.add_argument("--n-parts", type=int, default=256)
+
+    str_p = sub.add_parser("stream")
+    str_p.add_argument("--input", required=True)
+    str_p.add_argument("--out", required=True)
+    str_p.add_argument("--checkpoint", required=True)
+    str_p.add_argument("--master", default=None)
+
+    art_p = sub.add_parser("build-artifacts")
+    art_p.add_argument("--dir", default="artifacts/text_bundle")
+
+    sub.add_parser("bench")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "build-artifacts":
+        from .textops import build_default_bundle, save_bundle
+
+        save_bundle(build_default_bundle(), args.dir)
+        print(json.dumps({"artifacts": args.dir}))
+        return 0
+
+    if args.cmd == "bench":
+        import bench
+
+        bench.main()
+        return 0
+
+    from .session import get_spark
+
+    if args.cmd == "run":
+        from .pipeline import QualityFilterPipeline
+
+        spark = get_spark(app="qfilter-run", master=args.master)
+        pipe = QualityFilterPipeline(
+            spark, args.out, n_parts=args.n_parts, wave_size=args.wave_size
+        )
+        images = spark.read.parquet(args.input) if args.input else None
+        labels = pipe.run(images, run_id=args.run_id)
+        print(json.dumps({"rows": labels.count(), **pipe.status()}))
+        return 0
+
+    if args.cmd == "status":
+        from .pipeline import QualityFilterPipeline
+
+        spark = get_spark(app="qfilter-status")
+        pipe = QualityFilterPipeline(spark, args.out, n_parts=args.n_parts)
+        print(json.dumps(pipe.status()))
+        return 0
+
+    if args.cmd == "stream":
+        from .streaming import stream_quality_filter
+
+        spark = get_spark(app="qfilter-stream", master=args.master)
+        q = stream_quality_filter(spark, args.input, args.out, args.checkpoint)
+        q.awaitTermination()
+        print(json.dumps({"stream": "drained", "out": args.out}))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
