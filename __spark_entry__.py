@@ -237,6 +237,33 @@ def _qf_tuning_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _qf_derived_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tune_extended_classifier.py:53-64 engineered features."""
+    from qfilter.features import with_all_features
+    from qfilter.tune import DERIVED_NAMES, with_derived_features
+
+    feats = with_all_features(_fixture_images(spark))
+    out = with_derived_features(feats.filter(F.col("error").isNull()))
+    # JVM Math.log vs libm log differ in the last ulp on some inputs:
+    # quantize the log-derived columns to a 1e-9 grid for the compare
+    q = lambda c: F.floor(F.col(c) * 1e9).cast("long").alias(c + "_q9")
+    return out.select(
+        "image_id", "conf_range", "blur_per_word", "density_per_conf",
+        "pct80_squared", "line_height_cv", "line_spacing_cv",
+        q("conf_log"), q("words_log"), q("bbox_area_log"),
+    )
+
+
+def _qf_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 threshold grid-search argmax (tune:103-123 shape)."""
+    from qfilter.features import with_all_features
+    from qfilter.tune import threshold_grid_search
+
+    feats = with_all_features(_fixture_images(spark)).filter(F.col("error").isNull())
+    return threshold_grid_search(spark, feats)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from qfilter import corpus, similarity
 
@@ -251,6 +278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_base_labels": _qf_base_labels,
         "qf_easyocr_labels": _qf_easyocr_labels,
         "qf_tuning_labels": _qf_tuning_labels,
+        "qf_derived_features": _qf_derived_features,
+        "qf_grid_search": _qf_grid_search,
         # --- corpus text analytics over `documents` ---
         "text_quality_stats": corpus.text_quality_stats,
         "lang_rollup": corpus.lang_rollup,
@@ -437,6 +466,58 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'medium'
               END AS category
             FROM read_parquet('{labels_ref}') WHERE error IS NULL
+            """
+        ),
+        "qf_derived_features": (
+            f"""
+            SELECT image_id,
+                   mean_ocr_conf - median_ocr_conf AS conf_range,
+                   avg_blur / (words_count + 1.0) AS blur_per_word,
+                   text_density * median_ocr_conf AS density_per_conf,
+                   pct80 * pct80 AS pct80_squared,
+                   line_height_var / (line_height_med + 1.0) AS line_height_cv,
+                   line_spacing_var / (line_spacing_med + 1.0) AS line_spacing_cv,
+                   CAST(floor(ln(1.0 + median_ocr_conf) * 1e9) AS BIGINT) AS conf_log_q9,
+                   CAST(floor(ln(1.0 + CAST(words_count AS DOUBLE)) * 1e9) AS BIGINT) AS words_log_q9,
+                   CAST(floor(ln(1.0 + bbox_area_text_frac * 1000.0) * 1e9) AS BIGINT) AS bbox_area_log_q9
+            FROM read_parquet('{labels_ref}') WHERE error IS NULL
+            """
+        ),
+        "qf_grid_search": (
+            f"""
+            WITH grid AS (
+              SELECT * FROM (VALUES (0.10), (0.20)) a(pct80_failed),
+                            (VALUES (20.0), (30.0)) b(conf_failed),
+                            (VALUES (0.02), (0.05)) c(bbox_failed),
+                            (VALUES (30.0), (40.0)) d(conf_iqr_max)
+            ),
+            feats AS (
+              SELECT *, CASE WHEN category = 'trash' THEN 'failed'
+                             ELSE category END AS true_cat
+              FROM read_parquet('{labels_ref}') WHERE error IS NULL
+            ),
+            scored AS (
+              SELECT g.pct80_failed, g.conf_failed, g.bbox_failed, g.conf_iqr_max,
+                CASE
+                  WHEN f.pct80 < g.pct80_failed OR f.median_ocr_conf < g.conf_failed
+                       OR f.bbox_area_text_frac < g.bbox_failed THEN 'failed'
+                  WHEN f.conf_iqr > g.conf_iqr_max AND f.pct80 < 0.4 THEN 'failed'
+                  WHEN f.line_height_var > 120.0 AND f.median_ocr_conf < 70 THEN 'medium'
+                  WHEN f.pct80 >= 0.5 AND f.median_ocr_conf >= 75.0
+                       AND f.bbox_area_text_frac >= 0.1 AND f.conf_iqr <= 25 THEN 'good'
+                  ELSE 'medium'
+                END AS pred, f.true_cat
+              FROM feats f, grid g
+            )
+            SELECT pct80_failed, conf_failed, bbox_failed, conf_iqr_max,
+                   CAST(sum(CASE WHEN pred = true_cat THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_correct,
+                   count(*) AS n_total
+            FROM scored
+            GROUP BY 1, 2, 3, 4
+            ORDER BY n_correct DESC, pct80_failed, conf_failed, bbox_failed,
+                     conf_iqr_max
+            LIMIT 1
             """
         ),
         "text_quality_stats": """

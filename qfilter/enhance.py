@@ -1,0 +1,279 @@
+"""Enhancement / preprocessing operators (the reference's `improver`
+package) re-expressed as numpy kernels + one Arrow UDF stage.
+
+Reference parity (semantics transcribed, OpenCV replaced by numpy):
+
+* P13 line detect   `line_cleaner.py:151-225` (`detect_extra_line_image`):
+  Otsu-inv -> open with (min_len_ratio*w x 1) / (1 x min_len_ratio*h)
+  kernels -> bbox extraction with length/thickness predicates ->
+  border-band checks (1% band, dark ratio > 0.12) -> table suppression
+  (>= threshold boxes spread > 0.6) -> score = 0.8*len + 0.2*thin.
+* P14 line removal  `line_cleaner.py:53-84`: mask = hor | ver | bands,
+  dilate, inpaint.  cv2.INPAINT_TELEA is replaced by local-background
+  fill (median of unmasked neighborhood) — visually different, same
+  contract (line pixels replaced by paper estimate).
+* P11 lighten       `document_lightener.py:77-95`: background estimate
+  by large blur -> divide -> normalize (CLAHE/NlMeans/unsharp steps of
+  the reference are denoise refinements, out of decision-path scope).
+* P15 deskew search `rotate_any_angle.py:43-119`: ink mask -> initial
+  angle (weighted median of component angles, W2) -> coarse-to-fine
+  projection-profile search (0.5, 0.2, 0.05 deg stages, W3) maximizing
+  the row-projection gradient energy.
+* P16 rotate        `rotate_any_angle.py:31-41`: bound-expanding
+  affine rotation with white fill (bilinear).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .imageops import (
+    adaptive_threshold_inv,
+    box_filter,
+    connected_components,
+    dilate,
+    grayscale,
+    morph_open,
+    otsu_threshold,
+)
+
+__all__ = [
+    "detect_lines",
+    "remove_lines",
+    "lighten_basic",
+    "rotate_bound_white",
+    "deskew_angle_search",
+    "with_line_features",
+]
+
+
+def _otsu_inv(gray: np.ndarray) -> np.ndarray:
+    t = otsu_threshold(gray)
+    return ((gray <= t) * 255).astype(np.uint8)
+
+
+def detect_lines(
+    gray: np.ndarray,
+    min_len_ratio: float = 0.9,
+    max_thickness_px: int = 8,
+    table_many_lines_threshold: int = 3,
+) -> dict:
+    """P13: stray ruled-line detector (see module doc for the recipe)."""
+    h, w = gray.shape
+    binv = _otsu_inv(gray)
+    klen_h = max(10, int(min_len_ratio * w))
+    klen_v = max(10, int(min_len_ratio * h))
+    hor = morph_open(binv, 1, klen_h)
+    ver = morph_open(binv, klen_v, 1)
+
+    def extract_boxes(mask: np.ndarray, orient: str):
+        comps = connected_components(dilate(mask, 3, 3))
+        boxes = []
+        for c in comps:
+            x, y, x2, y2 = c["bbox"]
+            ww, hh = x2 - x, y2 - y
+            if orient == "h" and ww >= int(min_len_ratio * w) and hh <= max_thickness_px:
+                boxes.append((x, y, ww, hh))
+            if orient == "v" and hh >= int(min_len_ratio * h) and ww <= max_thickness_px:
+                boxes.append((x, y, ww, hh))
+        return boxes
+
+    h_boxes = extract_boxes(hor, "h")
+    v_boxes = extract_boxes(ver, "v")
+
+    band = max(4, int(0.01 * min(w, h)))
+    thr = 0.12
+    if np.count_nonzero(binv[:band, :]) / binv[:band, :].size > thr:
+        h_boxes.append((0, 0, w, band))
+    if np.count_nonzero(binv[h - band :, :]) / binv[h - band :, :].size > thr:
+        h_boxes.append((0, h - band, w, band))
+    if np.count_nonzero(binv[:, :band]) / binv[:, :band].size > thr:
+        v_boxes.append((0, 0, band, h))
+    if np.count_nonzero(binv[:, w - band :]) / binv[:, w - band :].size > thr:
+        v_boxes.append((w - band, 0, band, h))
+
+    def is_table(boxes, orient):
+        if len(boxes) < table_many_lines_threshold:
+            return False
+        coords = [b[1] for b in boxes] if orient == "h" else [b[0] for b in boxes]
+        spread = (max(coords) - min(coords)) / (h if orient == "h" else w)
+        return spread > 0.6
+
+    if is_table(h_boxes, "h"):
+        h_boxes = []
+    if is_table(v_boxes, "v"):
+        v_boxes = []
+
+    def score(boxes, orient):
+        if not boxes:
+            return 0.0
+        lengths = [(b[2] / w) if orient == "h" else (b[3] / h) for b in boxes]
+        thicks = [b[3] if orient == "h" else b[2] for b in boxes]
+        s_len = max(lengths)
+        s_th = max(0.0, 1.0 - min(thicks) / max(1.0, float(max_thickness_px)))
+        return 0.8 * s_len + 0.2 * s_th
+
+    hs, vs = score(h_boxes, "h"), score(v_boxes, "v")
+    if hs == 0 and vs == 0:
+        return {"has_line": False, "orientation": None, "score": 0.0, "bboxes": []}
+    if hs >= vs:
+        return {"has_line": True, "orientation": "h", "score": float(hs), "bboxes": h_boxes}
+    return {"has_line": True, "orientation": "v", "score": float(vs), "bboxes": v_boxes}
+
+
+def remove_lines(
+    px: np.ndarray, min_len_ratio: float = 0.5, line_thickness: int = 3
+) -> np.ndarray:
+    """P14: erase detected line pixels, filling with local paper color."""
+    gray = grayscale(px)
+    h, w = gray.shape
+    binv = _otsu_inv(gray)
+    hor = morph_open(binv, 1, max(10, int(min_len_ratio * w)))
+    ver = morph_open(binv, max(10, int(min_len_ratio * h)), 1)
+    mask = np.maximum(hor, ver)
+    band = max(4, int(0.01 * min(w, h)))
+    thr = 0.12
+    if np.count_nonzero(binv[:band, :]) / binv[:band, :].size > thr:
+        mask[:band, :] = 255
+    if np.count_nonzero(binv[h - band :, :]) / binv[h - band :, :].size > thr:
+        mask[h - band :, :] = 255
+    if np.count_nonzero(binv[:, :band]) / binv[:, :band].size > thr:
+        mask[:, :band] = 255
+    if np.count_nonzero(binv[:, w - band :]) / binv[:, w - band :].size > thr:
+        mask[:, w - band :] = 255
+    mask = dilate(mask, line_thickness, line_thickness) != 0
+
+    out = px.copy()
+    # paper estimate: large box blur of unmasked pixels (weighted mean)
+    keep = (~mask).astype(np.float64)
+    k = max(9, (min(h, w) // 10) | 1)
+    for c in range(3):
+        chan = px[..., c].astype(np.float64) * keep
+        num = box_filter(np.clip(chan, 0, 255).astype(np.uint8), k).astype(np.float64)
+        den = box_filter((keep * 255).astype(np.uint8), k).astype(np.float64) / 255.0
+        bg = np.where(den > 1e-3, num / np.maximum(den, 1e-3), 255.0)
+        out[..., c] = np.where(mask, np.clip(bg, 0, 255), px[..., c]).astype(np.uint8)
+    return out
+
+
+def lighten_basic(px: np.ndarray, target_paper: int = 235) -> np.ndarray:
+    """P11: background-flattening lightener (blur-divide-normalize)."""
+    gray = grayscale(px).astype(np.float64)
+    k = max(15, (min(gray.shape) // 8) | 1)
+    bg = box_filter(gray.astype(np.uint8), k).astype(np.float64)
+    ratio = np.clip(target_paper * gray / np.maximum(bg, 1.0), 0, 255)
+    gain = np.where(gray > 0, ratio / np.maximum(gray, 1.0), 1.0)
+    out = np.clip(px.astype(np.float64) * gain[..., None], 0, 255)
+    return np.round(out).astype(np.uint8)
+
+
+def rotate_bound_white(px: np.ndarray, angle_deg: float) -> np.ndarray:
+    """P16: rotate by angle with canvas expansion and white border
+    (bilinear resampling)."""
+    h, w = px.shape[:2]
+    th = np.deg2rad(angle_deg)
+    c, s = np.cos(th), np.sin(th)
+    nw = int(np.ceil(abs(w * c) + abs(h * s) - 1e-9))
+    nh = int(np.ceil(abs(w * s) + abs(h * c) - 1e-9))
+    yy, xx = np.mgrid[0:nh, 0:nw].astype(np.float64)
+    # map output coords back to input (inverse rotation about centers)
+    xo = xx - (nw - 1) / 2.0
+    yo = yy - (nh - 1) / 2.0
+    xi = c * xo + s * yo + (w - 1) / 2.0
+    yi = -s * xo + c * yo + (h - 1) / 2.0
+    x0 = np.floor(xi).astype(np.int64)
+    y0 = np.floor(yi).astype(np.int64)
+    fx = xi - x0
+    fy = yi - y0
+    valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+    x0c = np.clip(x0, 0, w - 2)
+    y0c = np.clip(y0, 0, h - 2)
+    out = np.full((nh, nw, 3), 255.0)
+    for ch in range(3):
+        p = px[..., ch].astype(np.float64)
+        v = (
+            p[y0c, x0c] * (1 - fx) * (1 - fy)
+            + p[y0c, x0c + 1] * fx * (1 - fy)
+            + p[y0c + 1, x0c] * (1 - fx) * fy
+            + p[y0c + 1, x0c + 1] * fx * fy
+        )
+        out[..., ch] = np.where(valid, v, 255.0)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _projection_score(binv: np.ndarray) -> float:
+    """Row-projection gradient energy (`rotate_any_angle.py:56-61`)."""
+    proj = binv.sum(axis=1).astype(np.float64)
+    d = np.diff(proj)
+    return float((d * d).sum())
+
+
+def deskew_angle_search(
+    gray: np.ndarray,
+    coarse: tuple[float, float] = (0.5, 8.0),
+    mid: tuple[float, float] = (0.2, 3.0),
+    fine: tuple[float, float] = (0.05, 1.0),
+) -> float:
+    """P15 (+W3): coarse-to-fine search for the angle maximizing the
+    row-projection gradient of the ink mask.  Returns degrees to rotate
+    BY to deskew (positive = counterclockwise content skew)."""
+    binv = adaptive_threshold_inv(gray, 31, 11)
+    px3 = np.stack([255 - binv] * 3, axis=-1)
+
+    def score_at(a: float) -> float:
+        r = rotate_bound_white(px3, a)
+        rb = ((r[..., 0] < 128) * 255).astype(np.uint8)
+        return _projection_score(rb)
+
+    best = 0.0
+    for step, span in (coarse, mid, fine):
+        angles = np.arange(best - span, best + span + step / 2, step)
+        scores = [score_at(float(a)) for a in angles]
+        best = float(angles[int(np.argmax(scores))])
+    return best
+
+
+# ------------------------------------------------------------ UDF stage
+
+def with_line_features(df, min_len_ratio: float = 0.5):
+    """(image_id, bytes, fmt, w, h, ...) -> + has_line, line_orientation,
+    line_score, n_line_boxes columns (P13 as a batched stage)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from . import codecs
+
+    schema = T.StructType(
+        [
+            T.StructField("has_line", T.BooleanType()),
+            T.StructField("line_orientation", T.StringType()),
+            T.StructField("line_score", T.DoubleType()),
+            T.StructField("n_line_boxes", T.IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def det(data: pd.Series, fmt: pd.Series, w: pd.Series, h: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b, f, ww, hh in zip(data, fmt, w, h):
+            try:
+                px = codecs.decode(b, f, int(ww), int(hh))
+                d = detect_lines(grayscale(px), min_len_ratio=min_len_ratio)
+                rows.append(
+                    {
+                        "has_line": bool(d["has_line"]),
+                        "line_orientation": d["orientation"],
+                        "line_score": float(d["score"]),
+                        "n_line_boxes": len(d["bboxes"]),
+                    }
+                )
+            except Exception:  # noqa: BLE001
+                rows.append(
+                    {"has_line": False, "line_orientation": None,
+                     "line_score": 0.0, "n_line_boxes": 0}
+                )
+        return pd.DataFrame(rows)
+
+    out = df.withColumn("_lf", det(F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h")))
+    return out.select(*df.columns, "_lf.*")
