@@ -24,6 +24,15 @@ def _fmt(df) -> str:
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(autouse=True)
+def _clear_cache(spark):
+    # Other test modules cache the smoke images table; the cache manager
+    # would substitute that full-schema InMemoryRelation into our plans,
+    # hiding the pruned parquet scan these tests assert on.
+    spark.catalog.clearCache()
+    yield
+
+
 def test_filter_pushdown_and_pruning(spark):
     from qfilter.corpus import lineitem_rollup
 
