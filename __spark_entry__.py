@@ -44,6 +44,24 @@ def _nlp_sidecar(sf_dir: str) -> str:
     return ensure_sidecar(sf_dir)
 
 
+def _xxh_sidecars(sf_dir: str) -> dict[str, str]:
+    """Pure-Python XXH64-based oracle tables (see oracle/xxh64.py) for
+    the xxhash64-dependent queries plus the single-node media oracles."""
+    from make_oracle_sidecars import (
+        ensure_sidecar_lsh_ann,
+        ensure_sidecar_minhash_pairs,
+        ensure_sidecar_simhash,
+        ensure_sidecar_thumbs,
+    )
+
+    return {
+        "simhash": ensure_sidecar_simhash(sf_dir),
+        "minhash_pairs": ensure_sidecar_minhash_pairs(sf_dir),
+        "lsh_ann": ensure_sidecar_lsh_ann(sf_dir),
+        "thumbs": ensure_sidecar_thumbs(_fixture_dir()),
+    }
+
+
 # ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -316,6 +334,7 @@ def oracle_sql() -> dict[str, str]:
     labels_ref = os.path.join(fdir, "labels_ref.parquet")
     images_pq = os.path.join(fdir, "images.parquet")
     nlp_sidecar = _nlp_sidecar("/root/testdata/sf0.01")
+    xxh = _xxh_sidecars("/root/testdata/sf0.01")
 
     dup_docs = (
         "SELECT doc_id, text, lang FROM documents "
@@ -670,8 +689,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT q, rank, n FROM ranked WHERE rank <= 5
         """,
-        # minhash_lsh_dup_pairs / simhash64 / lsh_ann_topk /
-        # qf_neardup_pairs / mm_*: rely on Spark-side hashing (xxhash64)
-        # or media decoding DuckDB can't replicate -> rows-only checks;
-        # their semantics are pytest-verified against exact baselines.
+        # xxhash64-dependent queries: the oracle is a pure-Python XXH64
+        # replication (oracle/xxh64.py, Spark-parity proven in tests)
+        # persisted as a sidecar table by tools/make_oracle_sidecars.py.
+        "simhash64": (
+            f"SELECT doc_id, simhash FROM read_parquet('{xxh['simhash']}')"
+        ),
+        "minhash_lsh_dup_pairs": (
+            f"SELECT id1, id2, est_jaccard "
+            f"FROM read_parquet('{xxh['minhash_pairs']}')"
+        ),
+        "lsh_ann_topk": (
+            f"SELECT q, rank, n FROM read_parquet('{xxh['lsh_ann']}')"
+        ),
+        "mm_image_thumbs": (
+            f"SELECT image_id, thumb_md5, tw, th "
+            f"FROM read_parquet('{xxh['thumbs']}')"
+        ),
+        # 4x16-bit banding at hamming <= 3 is EXACT (pigeonhole: 3 bit
+        # flips leave >= 1 of 4 bands untouched), so brute force in
+        # DuckDB produces the identical pair set.
+        "qf_neardup_pairs": (
+            f"""
+            WITH h AS (SELECT DISTINCT phash AS ph
+                       FROM read_parquet('{images_pq}'))
+            SELECT a.ph AS h1, b.ph AS h2,
+                   CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+            FROM h a JOIN h b ON a.ph < b.ph
+            WHERE bit_count(xor(a.ph, b.ph)) <= 3
+            """
+        ),
+        # mm_audio_features / mm_video_frames: synthetic media decode ->
+        # rows-only checks; semantics pytest-verified (tests/test_*).
     }

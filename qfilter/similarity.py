@@ -114,15 +114,28 @@ def _planes(dim: int) -> np.ndarray:
     return rng.standard_normal((LSH_TABLES * LSH_PLANES, dim))
 
 
+def lsh_bucket_ids(mat: np.ndarray) -> np.ndarray:
+    """(n, dim) float64 -> (n, L) int32 bucket ids.
+
+    Projections use a strictly sequential per-row fold (cumsum), NOT
+    BLAS matmul: dgemm blocking varies with batch shape, and a sign
+    flip on a near-zero projection would make bucket assignment depend
+    on Arrow batch size.  Shared by the executor UDF and the
+    single-node oracle sidecar so both see identical buckets.
+    """
+    planes = _planes(mat.shape[1])  # (L*m, dim)
+    # (n, L*m, dim) products folded left-to-right over dim
+    proj = np.cumsum(mat[:, None, :] * planes[None, :, :], axis=2)[:, :, -1]
+    bits = proj > 0.0
+    bits = bits.reshape(len(mat), LSH_TABLES, LSH_PLANES)
+    return (bits * (1 << np.arange(LSH_PLANES))).sum(axis=2).astype(np.int32)
+
+
 @F.pandas_udf(T.ArrayType(T.IntegerType()))
 def _lsh_buckets_udf(emb: pd.Series) -> pd.Series:
-    """L bucket ids per vector (one per hash table), vectorized matmul."""
+    """L bucket ids per vector (one per hash table)."""
     mat = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
-    planes = _planes(mat.shape[1])
-    bits = (mat @ planes.T) > 0.0  # (n, L*m)
-    bits = bits.reshape(len(mat), LSH_TABLES, LSH_PLANES)
-    vals = (bits * (1 << np.arange(LSH_PLANES))).sum(axis=2)
-    return pd.Series(list(vals.astype(np.int32)))
+    return pd.Series(list(lsh_bucket_ids(mat)))
 
 
 def lsh_ann_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:

@@ -87,3 +87,40 @@ def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() > 0
     assert "category" in df.columns
+
+
+def test_xxh64_matches_spark(spark):
+    """The pure-Python XXH64 (oracle/xxh64.py) must equal Spark's
+    `xxhash64` on strings (all tail-length paths), longs, and the
+    multi-column chained form the minhash banding uses."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from oracle.xxh64 import (
+        spark_xxhash64_long,
+        spark_xxhash64_longs,
+        spark_xxhash64_str,
+    )
+
+    rnd = random.Random(7)
+    strs = [""] + [
+        "".join(chr(rnd.choice([65, 97, 1072, 233, 32])) for _ in range(ln))
+        for ln in list(range(1, 40)) + [63, 64, 65, 100]
+        for _ in range(3)
+    ]
+    df = spark.createDataFrame([(s,) for s in strs], ["s"])
+    got = [r[0] for r in df.select(F.xxhash64("s")).collect()]
+    assert got == [spark_xxhash64_str(s) for s in strs]
+
+    longs = [0, 1, -1, 2**31, -(2**63), 2**63 - 1] + [
+        rnd.randrange(-(2**63), 2**63) for _ in range(50)
+    ]
+    ldf = spark.createDataFrame([(v,) for v in longs], "v long")
+    got = [r[0] for r in ldf.select(F.xxhash64("v")).collect()]
+    assert got == [spark_xxhash64_long(v) for v in longs]
+
+    quads = [tuple(rnd.randrange(0, 2**31) for _ in range(4)) for _ in range(20)]
+    qdf = spark.createDataFrame(quads, "a long, b long, c long, d long")
+    got = [r[0] for r in qdf.select(F.xxhash64("a", "b", "c", "d")).collect()]
+    assert got == [spark_xxhash64_longs(list(q)) for q in quads]

@@ -57,7 +57,234 @@ def ensure_sidecar(sf_dir: str) -> str:
     return path
 
 
+# ------------------------------------------------- xxhash64-based oracles
+#
+# These replicate corpus.simhash64 / corpus.minhash_lsh_dup_pairs — whose
+# hashing runs JVM-side via F.xxhash64 — with the pure-Python XXH64 in
+# oracle/xxh64.py (empirically proven identical to Spark's in
+# tests/test_oracle_parity.py::test_xxh64_matches_spark).
+
+import re  # noqa: E402
+
+from oracle.xxh64 import (  # noqa: E402
+    spark_xxhash64_long,
+    spark_xxhash64_longs,
+    spark_xxhash64_str,
+)
+
+_U64 = (1 << 64) - 1
+
+
+def _spark_words(text: str) -> list[str]:
+    """= F.split(F.trim(text), r'\\s+') — [''] for blank text."""
+    return re.split(r"\s+", (text or "").strip())
+
+
+def _read_docs(sf_dir: str):
+    return pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pylist()
+
+
+def build_simhash(sf_dir: str) -> str:
+    rows = {"doc_id": [], "simhash": []}
+    for d in _read_docs(sf_dir):
+        votes = [0] * 64
+        for wrd in _spark_words(d["text"]):
+            h = spark_xxhash64_str(wrd) & _U64
+            for bit in range(64):
+                votes[bit] += 1 if (h >> bit) & 1 else -1
+        sh = 0
+        for bit in range(64):
+            if votes[bit] > 0:
+                sh |= 1 << bit
+        rows["doc_id"].append(d["doc_id"])
+        # Spark sums shiftleft(1L, bit): bit 63 contributes Long.MIN
+        rows["simhash"].append(sh - (1 << 64) if sh >> 63 else sh)
+    name = os.path.basename(os.path.normpath(sf_dir))
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, f"simhash_{name}.parquet")
+    pq.write_table(pa.table(rows), path)
+    return path
+
+
+def _doc_shingle_hashes(docs: list[dict], p: int) -> dict[int, set]:
+    """doc_id -> {pmod(xxhash64(shingle), p)} over distinct word-3-grams,
+    incl. the 80%-truncated planted copies (id + 1e6)."""
+    out = {}
+    planted = []
+    for d in docs:
+        ws = _spark_words(d["text"])
+        k = max(int(len(ws) * 0.8), 1)
+        planted.append({"doc_id": d["doc_id"] + 1_000_000, "text": " ".join(ws[:k])})
+    for d in list(docs) + planted:
+        ws = _spark_words(d["text"])
+        if len(ws) < 3:
+            continue
+        shingles = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        out[d["doc_id"]] = {spark_xxhash64_str(s) % p for s in shingles}
+    return out
+
+
+def build_minhash_pairs(sf_dir: str, n_perm: int = 32, bands: int = 8) -> str:
+    from qfilter.corpus import _minhash_coeffs
+
+    p = 2147483647
+    a, b = _minhash_coeffs(n_perm)
+    sigs = {}
+    for doc_id, xs in _doc_shingle_hashes(_read_docs(sf_dir), p).items():
+        sigs[doc_id] = [min((a[i] * x + b[i]) % p for x in xs) for i in range(n_perm)]
+
+    r = n_perm // bands
+    buckets: dict[tuple, list] = {}
+    for doc_id, sig in sigs.items():
+        for band in range(bands):
+            key = (band, spark_xxhash64_longs(sig[band * r : (band + 1) * r]))
+            buckets.setdefault(key, []).append(doc_id)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    rows = {"id1": [], "id2": [], "est_jaccard": []}
+    for id1, id2 in sorted(cand):
+        s1, s2 = sigs[id1], sigs[id2]
+        m = sum(1 for i in range(n_perm) if s1[i] == s2[i])
+        rows["id1"].append(id1)
+        rows["id2"].append(id2)
+        rows["est_jaccard"].append(m / float(n_perm))
+    name = os.path.basename(os.path.normpath(sf_dir))
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, f"minhash_pairs_{name}.parquet")
+    pq.write_table(pa.table(rows), path)
+    return path
+
+
+def build_lsh_ann(sf_dir: str, k: int = 5) -> str:
+    """Replicates similarity.lsh_ann_topk: shared deterministic bucket
+    fn, candidate union over tables, exact left-to-right-fold rerank."""
+    from qfilter.similarity import LSH_TABLES, lsh_bucket_ids
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl.column("vec_id").to_pylist()
+    mat = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+    )
+    buckets = lsh_bucket_ids(mat)  # (n, L)
+    byb: dict[tuple, list] = {}
+    for row, vid in enumerate(ids):
+        for t in range(LSH_TABLES):
+            byb.setdefault((t, int(buckets[row, t])), []).append(row)
+    cand = set()
+    for rows_ in byb.values():
+        for i in rows_:
+            for j in rows_:
+                if i != j:
+                    cand.add((i, j))
+    cand = sorted(cand)
+    qi = np.array([c[0] for c in cand])
+    ni = np.array([c[1] for c in cand])
+    # exact same fold order as the Spark HOF aggregate: cumsum = strict
+    # left-to-right sequential sum
+    av, bv = mat[qi], mat[ni]
+    dots = np.cumsum(av * bv, axis=1)[:, -1]
+    na = np.sqrt(np.cumsum(av * av, axis=1)[:, -1])
+    nb = np.sqrt(np.cumsum(bv * bv, axis=1)[:, -1])
+    cos = dots / (na * nb)
+    out = {"q": [], "rank": [], "n": []}
+    order: dict[int, list] = {}
+    for (i, j), c in zip(cand, cos):
+        order.setdefault(i, []).append((c, ids[j]))
+    for i, lst in order.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (_, nid) in enumerate(lst[:k], start=1):
+            out["q"].append(ids[i])
+            out["rank"].append(rank)
+            out["n"].append(nid)
+    name = os.path.basename(os.path.normpath(sf_dir))
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, f"lsh_ann_{name}.parquet")
+    pq.write_table(
+        pa.table(out, schema=pa.schema([("q", pa.int64()), ("rank", pa.int32()),
+                                        ("n", pa.int64())])),
+        path,
+    )
+    return path
+
+
+def build_thumbs(fixture_dir: str, tw: int = 8, th: int = 8) -> str:
+    """Replicates multimodal.image_thumbnail + md5 over the fixture
+    images table (single-node run of the same codec path)."""
+    import hashlib
+
+    from qfilter import codecs
+    from qfilter.multimodal import _block_mean_resize
+
+    tbl = pq.read_table(
+        os.path.join(fixture_dir, "images.parquet"),
+        columns=["image_id", "bytes", "fmt", "w", "h"],
+    ).to_pylist()
+    rows = {"image_id": [], "thumb_md5": [], "tw": [], "th": []}
+    for r in tbl:
+        try:
+            px = codecs.decode(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
+            thumb = codecs.encode(_block_mean_resize(px, tw, th), "png")
+            md5 = hashlib.md5(thumb).hexdigest()
+        except Exception:  # noqa: BLE001 — error rows: NULL md5 (Spark md5(NULL))
+            md5 = None
+        rows["image_id"].append(r["image_id"])
+        rows["thumb_md5"].append(md5)
+        rows["tw"].append(tw)
+        rows["th"].append(th)
+    os.makedirs(OUT_DIR, exist_ok=True)
+    tier = os.path.basename(os.path.normpath(fixture_dir))
+    path = os.path.join(OUT_DIR, f"thumbs_{tier}.parquet")
+    pq.write_table(
+        pa.table(rows, schema=pa.schema([("image_id", pa.string()),
+                                         ("thumb_md5", pa.string()),
+                                         ("tw", pa.int32()), ("th", pa.int32())])),
+        path,
+    )
+    return path
+
+
+def _ensure(path: str, builder, *args) -> str:
+    if not os.path.exists(path):
+        builder(*args)
+    return path
+
+
+def ensure_sidecar_simhash(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return _ensure(os.path.join(OUT_DIR, f"simhash_{name}.parquet"),
+                   build_simhash, sf_dir)
+
+
+def ensure_sidecar_minhash_pairs(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return _ensure(os.path.join(OUT_DIR, f"minhash_pairs_{name}.parquet"),
+                   build_minhash_pairs, sf_dir)
+
+
+def ensure_sidecar_lsh_ann(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return _ensure(os.path.join(OUT_DIR, f"lsh_ann_{name}.parquet"),
+                   build_lsh_ann, sf_dir)
+
+
+def ensure_sidecar_thumbs(fixture_dir: str) -> str:
+    tier = os.path.basename(os.path.normpath(fixture_dir))
+    return _ensure(os.path.join(OUT_DIR, f"thumbs_{tier}.parquet"),
+                   build_thumbs, fixture_dir)
+
+
 if __name__ == "__main__":
     for sf in sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
                                "/root/testdata/sf0.1"]:
         print(build_for(sf))
+        print(build_simhash(sf))
+        print(build_minhash_pairs(sf))
+        print(build_lsh_ann(sf))
