@@ -48,10 +48,12 @@ def _xxh_sidecars(sf_dir: str) -> dict[str, str]:
     """Pure-Python XXH64-based oracle tables (see oracle/xxh64.py) for
     the xxhash64-dependent queries plus the single-node media oracles."""
     from make_oracle_sidecars import (
+        ensure_sidecar_audio,
         ensure_sidecar_lsh_ann,
         ensure_sidecar_minhash_pairs,
         ensure_sidecar_simhash,
         ensure_sidecar_thumbs,
+        ensure_sidecar_video,
     )
 
     return {
@@ -59,6 +61,8 @@ def _xxh_sidecars(sf_dir: str) -> dict[str, str]:
         "minhash_pairs": ensure_sidecar_minhash_pairs(sf_dir),
         "lsh_ann": ensure_sidecar_lsh_ann(sf_dir),
         "thumbs": ensure_sidecar_thumbs(_fixture_dir()),
+        "audio": ensure_sidecar_audio(),
+        "video": ensure_sidecar_video(),
     }
 
 
@@ -177,41 +181,33 @@ def _mm_image_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic synthetic PCM16 audio (sine + square) -> features."""
-    import numpy as np
+    """Deterministic synthetic PCM16 audio (sine + square) -> features.
+    Input rows shared with the single-node oracle sidecar."""
+    from make_fixtures import synth_audio_rows
 
     from qfilter.multimodal import audio_features
 
-    rows = []
-    for i in range(64):
-        sr = 8000
-        t = np.arange(sr // 4, dtype=np.float64) / sr
-        freq = 110.0 * (1 + i % 8)
-        wave = np.sin(2 * np.pi * freq * t) * (0.1 + 0.05 * (i % 5))
-        if i % 3 == 0:
-            wave = np.sign(wave) * np.abs(wave).max()
-        pcm = (wave * 32767).astype("<i2").tobytes()
-        rows.append((f"aud{i:04d}", bytearray(pcm), sr, 1))
+    rows = [(a, bytearray(p), sr, ch) for a, p, sr, ch in synth_audio_rows()]
     df = spark.createDataFrame(rows, "audio_id string, pcm binary, sample_rate int, channels int")
-    return audio_features(df)
+    return audio_features(df).select(
+        "audio_id", "duration_s", "rms", "zero_crossings", "peak"
+    )
 
 
 def _mm_video(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic synthetic raw-frame 'videos' -> sampled frame stats."""
-    import numpy as np
+    """Deterministic synthetic raw-frame 'videos' -> sampled frame stats.
+    Input rows shared with the single-node oracle sidecar."""
+    from make_fixtures import synth_video_rows
 
     from qfilter.multimodal import video_frame_features
 
-    rows = []
-    for i in range(16):
-        w, h, n = 32, 24, 20
-        rng = np.random.default_rng(np.random.PCG64((123, i)))
-        frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
-        rows.append((f"vid{i:04d}", bytearray(frames.tobytes()), n, w, h))
+    rows = [(v, bytearray(f), n, w, h) for v, f, n, w, h in synth_video_rows()]
     df = spark.createDataFrame(
         rows, "video_id string, frames binary, n_frames int, w int, h int"
     )
-    return video_frame_features(df, every_n=5)
+    return video_frame_features(df, every_n=5).select(
+        "video_id", "frame_idx", "mean_brightness", "contrast"
+    )
 
 
 
@@ -719,6 +715,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.ph, b.ph)) <= 3
             """
         ),
-        # mm_audio_features / mm_video_frames: synthetic media decode ->
-        # rows-only checks; semantics pytest-verified (tests/test_*).
+        # mm_audio / mm_video: single-node numpy oracle over the same
+        # deterministic synthetic bytes (make_oracle_sidecars.build_*),
+        # doubles bit-identical by construction (same op order).
+        "mm_audio_features": (
+            f"SELECT audio_id, duration_s, rms, zero_crossings, peak "
+            f"FROM read_parquet('{xxh['audio']}')"
+        ),
+        "mm_video_frames": (
+            f"SELECT video_id, frame_idx, mean_brightness, contrast "
+            f"FROM read_parquet('{xxh['video']}')"
+        ),
     }

@@ -370,12 +370,14 @@ def crop_roi(gray: np.ndarray):
     return gray[y1:y2, x1:x2], frac
 
 
-def text_density(gray: np.ndarray) -> float:
+def text_density(gray: np.ndarray, _med: np.ndarray | None = None) -> float:
     """Ink fraction: median3 -> adaptive INV (35, 15) -> open 3x3.
 
-    Reference: `_text_density` :121-128.
+    Reference: `_text_density` :121-128.  ``_med`` lets callers reuse a
+    precomputed ``median3(gray)`` (same array is needed by
+    ``core_content_fraction``).
     """
-    g = median3(gray)
+    g = median3(gray) if _med is None else _med
     thr = adaptive_threshold_inv(g, 35, 15)
     thr = morph_open(thr, 3, 3)
     return float(np.count_nonzero(thr)) / float(thr.size)
@@ -424,13 +426,13 @@ def estimate_skew_deg(gray: np.ndarray) -> float:
     return float(np.median(dists)) if dists else 0.0
 
 
-def core_content_fraction(gray: np.ndarray) -> float:
+def core_content_fraction(gray: np.ndarray, _med: np.ndarray | None = None) -> float:
     """Largest merged content blob pixel-area fraction.
 
     Reference: `_core_content_fraction` :174-188 — median3, adaptive INV
     (41, 15), close 15x15 x2, largest component area / (h*w).
     """
-    g = median3(gray)
+    g = median3(gray) if _med is None else _med
     thr = adaptive_threshold_inv(g, 41, 15)
     merged = morph_close(morph_close(thr, 15, 15), 15, 15)
     comps = connected_components(merged)
@@ -468,13 +470,14 @@ def image_features(px: np.ndarray) -> dict:
     gray = grayscale(px)
     cropped, roi_frac_v = crop_roi(gray)
     mean_b, median_b, contrast, dark, very_dark = brightness_stats(gray)
+    med = median3(cropped)  # shared by text_density + core_content_fraction
     return {
         "roi_frac": roi_frac_v,
         "avg_blur": laplacian_variance(cropped),
-        "text_density": text_density(cropped),
+        "text_density": text_density(cropped, _med=med),
         "is_table_like": bool(is_table_like(cropped)),
         "avg_skew_deg": estimate_skew_deg(cropped),
-        "core_frac": core_content_fraction(cropped),
+        "core_frac": core_content_fraction(cropped, _med=med),
         "mean_brightness": mean_b,
         "median_brightness": median_b,
         "contrast": contrast,

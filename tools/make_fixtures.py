@@ -602,6 +602,35 @@ def write_tier(pool, tier, out_dir):
     return manifest
 
 
+def synth_audio_rows() -> list[tuple]:
+    """Deterministic synthetic PCM16 clips (sine + square), shared by
+    the Spark query (`__spark_entry__._mm_audio`) and its single-node
+    oracle sidecar so both see identical bytes."""
+    rows = []
+    for i in range(64):
+        sr = 8000
+        t = np.arange(sr // 4, dtype=np.float64) / sr
+        freq = 110.0 * (1 + i % 8)
+        wave = np.sin(2 * np.pi * freq * t) * (0.1 + 0.05 * (i % 5))
+        if i % 3 == 0:
+            wave = np.sign(wave) * np.abs(wave).max()
+        pcm = (wave * 32767).astype("<i2").tobytes()
+        rows.append((f"aud{i:04d}", pcm, sr, 1))
+    return rows
+
+
+def synth_video_rows() -> list[tuple]:
+    """Deterministic raw-RGB-frame 'videos' (fake container), shared by
+    the Spark query and its oracle sidecar."""
+    rows = []
+    for i in range(16):
+        w, h, n = 32, 24, 20
+        rng = np.random.default_rng(np.random.PCG64((123, i)))
+        frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        rows.append((f"vid{i:04d}", frames.tobytes(), n, w, h))
+    return rows
+
+
 _POOL_CACHE = None
 
 

@@ -251,6 +251,68 @@ def build_thumbs(fixture_dir: str, tw: int = 8, th: int = 8) -> str:
     return path
 
 
+def build_audio_features() -> str:
+    """Single-node oracle for `mm_audio_features`: same PCM bytes
+    (make_fixtures.synth_audio_rows), arithmetic transcribed from
+    qfilter/multimodal.py:audio_features in the same operation order
+    (identical float64 results bit-for-bit)."""
+    from make_fixtures import synth_audio_rows
+
+    rows = {"audio_id": [], "duration_s": [], "rms": [],
+            "zero_crossings": [], "peak": []}
+    for audio_id, pcm, sr, ch in synth_audio_rows():
+        x = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32768.0
+        if ch > 1:
+            x = x.reshape(-1, ch).mean(axis=1)
+        rows["audio_id"].append(audio_id)
+        rows["duration_s"].append(len(x) / float(sr))
+        rows["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+        rows["zero_crossings"].append(int(np.count_nonzero(np.diff(np.signbit(x)))))
+        rows["peak"].append(float(np.abs(x).max()) if len(x) else 0.0)
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, "audio_features_synth.parquet")
+    pq.write_table(
+        pa.table(rows, schema=pa.schema([
+            ("audio_id", pa.string()), ("duration_s", pa.float64()),
+            ("rms", pa.float64()), ("zero_crossings", pa.int64()),
+            ("peak", pa.float64()),
+        ])),
+        path,
+    )
+    return path
+
+
+def build_video_frames(every_n: int = 5) -> str:
+    """Single-node oracle for `mm_video_frames`: same frame bytes
+    (make_fixtures.synth_video_rows), per-sampled-frame gray mean/std
+    transcribed from qfilter/multimodal.py:video_frame_features."""
+    from make_fixtures import synth_video_rows
+
+    rows = {"video_id": [], "frame_idx": [], "mean_brightness": [],
+            "contrast": []}
+    for video_id, frames, n, w, h in synth_video_rows():
+        frame_sz = w * h * 3
+        for fi in range(0, n, every_n):
+            chunk = frames[fi * frame_sz : (fi + 1) * frame_sz]
+            px = np.frombuffer(chunk, dtype=np.uint8).reshape(h, w, 3)
+            f = px[..., 0] * 0.299 + px[..., 1] * 0.587 + px[..., 2] * 0.114
+            g = np.clip(np.round(f), 0, 255).astype(np.uint8).astype(np.float64)
+            rows["video_id"].append(video_id)
+            rows["frame_idx"].append(fi)
+            rows["mean_brightness"].append(float(g.mean()))
+            rows["contrast"].append(float(g.std()))
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, "video_frames_synth.parquet")
+    pq.write_table(
+        pa.table(rows, schema=pa.schema([
+            ("video_id", pa.string()), ("frame_idx", pa.int32()),
+            ("mean_brightness", pa.float64()), ("contrast", pa.float64()),
+        ])),
+        path,
+    )
+    return path
+
+
 def _ensure(path: str, builder, *args) -> str:
     if not os.path.exists(path):
         builder(*args)
@@ -279,6 +341,16 @@ def ensure_sidecar_thumbs(fixture_dir: str) -> str:
     tier = os.path.basename(os.path.normpath(fixture_dir))
     return _ensure(os.path.join(OUT_DIR, f"thumbs_{tier}.parquet"),
                    build_thumbs, fixture_dir)
+
+
+def ensure_sidecar_audio() -> str:
+    return _ensure(os.path.join(OUT_DIR, "audio_features_synth.parquet"),
+                   build_audio_features)
+
+
+def ensure_sidecar_video() -> str:
+    return _ensure(os.path.join(OUT_DIR, "video_frames_synth.parquet"),
+                   build_video_frames)
 
 
 if __name__ == "__main__":
