@@ -80,12 +80,13 @@ def test_lsh_ann_recall(spark):
 def test_multimodal_plumbing(spark):
     import __spark_entry__ as E
 
+    # the query wrappers drop the `error` channel column (the oracle
+    # compares the feature columns; error rows surface as null rms)
     audio = E.queries()["mm_audio_features"](spark, SF)
-    rows = audio.collect()
+    rows = sorted(audio.collect(), key=lambda r: r.audio_id)
     assert len(rows) == 64
-    assert all(r.error is None for r in rows)
-    assert all(0.0 < r.rms <= 1.01 for r in rows)
-    # square waves (every 3rd) are louder than their sine siblings
+    assert all(r.rms is not None and 0.0 < r.rms <= 1.01 for r in rows)
+    # square waves (every 3rd id) are louder than their sine siblings
     sq = np.mean([r.rms for i, r in enumerate(rows) if i % 3 == 0])
     sn = np.mean([r.rms for i, r in enumerate(rows) if i % 3 != 0])
     assert sq > sn
@@ -93,7 +94,7 @@ def test_multimodal_plumbing(spark):
     video = E.queries()["mm_video_frames"](spark, SF)
     vrows = video.collect()
     assert len(vrows) == 16 * 4  # 20 frames sampled every 5
-    assert all(v.error is None for v in vrows)
+    assert all(v.mean_brightness is not None for v in vrows)
     assert all(100 < v.mean_brightness < 155 for v in vrows)  # uniform noise
 
 
