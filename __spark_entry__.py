@@ -49,6 +49,8 @@ def _xxh_sidecars(sf_dir: str) -> dict[str, str]:
     the xxhash64-dependent queries plus the single-node media oracles."""
     from make_oracle_sidecars import (
         ensure_sidecar_audio,
+        ensure_sidecar_enhance,
+        ensure_sidecar_lines,
         ensure_sidecar_lsh_ann,
         ensure_sidecar_minhash_pairs,
         ensure_sidecar_simhash,
@@ -63,6 +65,8 @@ def _xxh_sidecars(sf_dir: str) -> dict[str, str]:
         "thumbs": ensure_sidecar_thumbs(_fixture_dir()),
         "audio": ensure_sidecar_audio(),
         "video": ensure_sidecar_video(),
+        "lines": ensure_sidecar_lines(_fixture_dir()),
+        "enhance": ensure_sidecar_enhance(_fixture_dir()),
     }
 
 
@@ -171,6 +175,32 @@ def _doc_nlp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", nlp(F.col("text")).alias("_n")).select("doc_id", "_n.*")
+
+
+def _qf_line_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 stray-line detector (reference line_cleaner.py:151-225) as a
+    batched Arrow stage; oracle = single-node run of the same kernels."""
+    from qfilter.enhance import with_line_features
+
+    out = with_line_features(_fixture_images(spark))
+    return out.select(
+        "image_id", "has_line", "line_orientation", "line_score", "n_line_boxes"
+    )
+
+
+def _qf_enhance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 lighten / P14 line removal / P15 deskew scalar summaries
+    (reference document_lightener.py:77-95, line_cleaner.py:53-84,
+    rotate_any_angle.py:43-119); oracle = single-node numpy run."""
+    from qfilter.enhance import with_enhance_stats
+
+    # deskew is the most expensive per-image kernel: spread the single
+    # fixture file across all cores before the UDF stage
+    cores = spark.sparkContext.defaultParallelism
+    out = with_enhance_stats(_fixture_images(spark).repartition(cores * 2, "image_id"))
+    return out.select(
+        "image_id", "deskew_deg", "lightened_mean", "delined_ink_frac"
+    )
 
 
 def _mm_image_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,6 +324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_tuning_labels": _qf_tuning_labels,
         "qf_derived_features": _qf_derived_features,
         "qf_grid_search": _qf_grid_search,
+        "qf_line_features": _qf_line_features,
+        "qf_enhance_stats": _qf_enhance_stats,
         # --- corpus text analytics over `documents` ---
         "text_quality_stats": corpus.text_quality_stats,
         "lang_rollup": corpus.lang_rollup,
@@ -725,5 +757,17 @@ def oracle_sql() -> dict[str, str]:
         "mm_video_frames": (
             f"SELECT video_id, frame_idx, mean_brightness, contrast "
             f"FROM read_parquet('{xxh['video']}')"
+        ),
+        # qf_line_features / qf_enhance_stats: single-node numpy oracle
+        # over the identical fixture bytes (make_oracle_sidecars.
+        # build_lines / build_enhance) — same kernels run without Spark,
+        # doubles bit-identical by construction.
+        "qf_line_features": (
+            f"SELECT image_id, has_line, line_orientation, line_score, "
+            f"n_line_boxes FROM read_parquet('{xxh['lines']}')"
+        ),
+        "qf_enhance_stats": (
+            f"SELECT image_id, deskew_deg, lightened_mean, "
+            f"delined_ink_frac FROM read_parquet('{xxh['enhance']}')"
         ),
     }

@@ -45,6 +45,8 @@ __all__ = [
     "rotate_bound_white",
     "deskew_angle_search",
     "with_line_features",
+    "with_enhance_stats",
+    "enhance_stats_one",
 ]
 
 
@@ -277,3 +279,58 @@ def with_line_features(df, min_len_ratio: float = 0.5):
 
     out = df.withColumn("_lf", det(F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h")))
     return out.select(*df.columns, "_lf.*")
+
+
+def enhance_stats_one(px: np.ndarray) -> dict:
+    """Scalar summaries of the three enhancement transforms on one
+    image — shared verbatim by the Spark stage below and the
+    single-node oracle sidecar (tools/make_oracle_sidecars.py), so the
+    driver's DuckDB comparison is bit-exact.
+
+    * deskew_deg        P15/W3 (`rotate_any_angle.py:43-119`)
+    * lightened_mean    mean gray after P11 lighten (`document_lightener.py:77-95`)
+    * delined_ink_frac  Otsu-ink fraction after P14 removal (`line_cleaner.py:53-84`)
+    """
+    gray = grayscale(px)
+    deg = float(deskew_angle_search(gray))
+    lit = grayscale(lighten_basic(px))
+    lmean = float(lit.mean(dtype=np.float64))
+    cleaned = grayscale(remove_lines(px))
+    binv = _otsu_inv(cleaned)
+    ink = float(np.count_nonzero(binv)) / float(binv.size)
+    return {"deskew_deg": deg, "lightened_mean": lmean, "delined_ink_frac": ink}
+
+
+def with_enhance_stats(df):
+    """(image_id, bytes, fmt, w, h, ...) -> + deskew_deg,
+    lightened_mean, delined_ink_frac (P11/P14/P15 as one batched
+    stage; decode errors -> NULLs, no task failure)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from . import codecs
+
+    schema = T.StructType(
+        [
+            T.StructField("deskew_deg", T.DoubleType()),
+            T.StructField("lightened_mean", T.DoubleType()),
+            T.StructField("delined_ink_frac", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def enh(data: pd.Series, fmt: pd.Series, w: pd.Series, h: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b, f, ww, hh in zip(data, fmt, w, h):
+            try:
+                px = codecs.decode(b, f, int(ww), int(hh))
+                rows.append(enhance_stats_one(px))
+            except Exception:  # noqa: BLE001
+                rows.append(
+                    {"deskew_deg": None, "lightened_mean": None,
+                     "delined_ink_frac": None}
+                )
+        return pd.DataFrame(rows)
+
+    out = df.withColumn("_es", enh(F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h")))
+    return out.select(*df.columns, "_es.*")

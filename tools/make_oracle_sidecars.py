@@ -313,10 +313,101 @@ def build_video_frames(every_n: int = 5) -> str:
     return path
 
 
+def build_lines(fixture_dir: str, min_len_ratio: float = 0.5) -> str:
+    """Single-node oracle for `qf_line_features`: P13 detector
+    (qfilter/enhance.py:detect_lines, reference line_cleaner.py:151-225)
+    over the fixture images table."""
+    from qfilter import codecs
+    from qfilter.enhance import detect_lines
+    from qfilter.imageops import grayscale
+
+    tbl = pq.read_table(
+        os.path.join(fixture_dir, "images.parquet"),
+        columns=["image_id", "bytes", "fmt", "w", "h"],
+    ).to_pylist()
+    rows = {"image_id": [], "has_line": [], "line_orientation": [],
+            "line_score": [], "n_line_boxes": []}
+    for r in tbl:
+        try:
+            px = codecs.decode(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
+            d = detect_lines(grayscale(px), min_len_ratio=min_len_ratio)
+            vals = (bool(d["has_line"]), d["orientation"],
+                    float(d["score"]), len(d["bboxes"]))
+        except Exception:  # noqa: BLE001 — error channel: same defaults as the UDF
+            vals = (False, None, 0.0, 0)
+        rows["image_id"].append(r["image_id"])
+        rows["has_line"].append(vals[0])
+        rows["line_orientation"].append(vals[1])
+        rows["line_score"].append(vals[2])
+        rows["n_line_boxes"].append(vals[3])
+    os.makedirs(OUT_DIR, exist_ok=True)
+    tier = os.path.basename(os.path.normpath(fixture_dir))
+    path = os.path.join(OUT_DIR, f"lines_{tier}.parquet")
+    pq.write_table(
+        pa.table(rows, schema=pa.schema([
+            ("image_id", pa.string()), ("has_line", pa.bool_()),
+            ("line_orientation", pa.string()), ("line_score", pa.float64()),
+            ("n_line_boxes", pa.int32()),
+        ])),
+        path,
+    )
+    return path
+
+
+def build_enhance(fixture_dir: str) -> str:
+    """Single-node oracle for `qf_enhance_stats`: P11/P14/P15 scalar
+    summaries (qfilter/enhance.py:enhance_stats_one — the identical
+    numpy code path, run without Spark) over the fixture images."""
+    from qfilter import codecs
+    from qfilter.enhance import enhance_stats_one
+
+    tbl = pq.read_table(
+        os.path.join(fixture_dir, "images.parquet"),
+        columns=["image_id", "bytes", "fmt", "w", "h"],
+    ).to_pylist()
+    rows = {"image_id": [], "deskew_deg": [], "lightened_mean": [],
+            "delined_ink_frac": []}
+    for r in tbl:
+        try:
+            px = codecs.decode(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
+            s = enhance_stats_one(px)
+        except Exception:  # noqa: BLE001
+            s = {"deskew_deg": None, "lightened_mean": None,
+                 "delined_ink_frac": None}
+        rows["image_id"].append(r["image_id"])
+        rows["deskew_deg"].append(s["deskew_deg"])
+        rows["lightened_mean"].append(s["lightened_mean"])
+        rows["delined_ink_frac"].append(s["delined_ink_frac"])
+    os.makedirs(OUT_DIR, exist_ok=True)
+    tier = os.path.basename(os.path.normpath(fixture_dir))
+    path = os.path.join(OUT_DIR, f"enhance_{tier}.parquet")
+    pq.write_table(
+        pa.table(rows, schema=pa.schema([
+            ("image_id", pa.string()), ("deskew_deg", pa.float64()),
+            ("lightened_mean", pa.float64()),
+            ("delined_ink_frac", pa.float64()),
+        ])),
+        path,
+    )
+    return path
+
+
 def _ensure(path: str, builder, *args) -> str:
     if not os.path.exists(path):
         builder(*args)
     return path
+
+
+def ensure_sidecar_lines(fixture_dir: str) -> str:
+    tier = os.path.basename(os.path.normpath(fixture_dir))
+    return _ensure(os.path.join(OUT_DIR, f"lines_{tier}.parquet"),
+                   build_lines, fixture_dir)
+
+
+def ensure_sidecar_enhance(fixture_dir: str) -> str:
+    tier = os.path.basename(os.path.normpath(fixture_dir))
+    return _ensure(os.path.join(OUT_DIR, f"enhance_{tier}.parquet"),
+                   build_enhance, fixture_dir)
 
 
 def ensure_sidecar_simhash(sf_dir: str) -> str:
