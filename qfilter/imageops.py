@@ -51,6 +51,24 @@ __all__ = [
 
 # ------------------------------------------------------------- basics
 
+def _pad_edge(a: np.ndarray, top: int, bottom: int, left: int, right: int) -> np.ndarray:
+    """Edge-replicate pad — same result as np.pad(mode="edge") but
+    without its generic-machinery overhead (the kernels below call this
+    thousands of times per image batch)."""
+    h, w = a.shape
+    out = np.empty((h + top + bottom, w + left + right), dtype=a.dtype)
+    out[top : top + h, left : left + w] = a
+    if top:
+        out[:top, left : left + w] = a[0]
+    if bottom:
+        out[top + h :, left : left + w] = a[-1]
+    if left:
+        out[:, :left] = out[:, left : left + 1]
+    if right:
+        out[:, left + w :] = out[:, left + w - 1 : left + w]
+    return out
+
+
 def grayscale(px: np.ndarray) -> np.ndarray:
     """ITU-R BT.601 luma (matches cv2.cvtColor RGB2GRAY weights)."""
     if px.ndim == 2:
@@ -66,17 +84,22 @@ def laplacian_variance(gray: np.ndarray) -> float:
     Border: replicate (cv2 BORDER_REFLECT_101 differs at edges only).
     """
     g = gray.astype(np.float64)
-    p = np.pad(g, 1, mode="edge")
+    p = _pad_edge(g, 1, 1, 1, 1)
     lap = p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4.0 * g
     return float(lap.var())
 
 
 def _integral_means(gray: np.ndarray, block: int) -> np.ndarray:
-    """Local box mean with replicate border, via integral image."""
+    """Local box mean with replicate border, via integral image.
+
+    Integer cumsum when the total fits int32/int64 (uint8 window sums
+    are exact integers either way, so the float64 quotient is
+    bit-identical to the previous all-float64 version, just cheaper)."""
     r = block // 2
-    g = np.pad(gray.astype(np.float64), r, mode="edge")
-    ii = np.zeros((g.shape[0] + 1, g.shape[1] + 1), dtype=np.float64)
-    np.cumsum(np.cumsum(g, axis=0), axis=1, out=ii[1:, 1:])
+    g = _pad_edge(gray, r, r, r, r)
+    acc = np.int32 if g.size * 255 < 2**31 else np.int64
+    ii = np.zeros((g.shape[0] + 1, g.shape[1] + 1), dtype=acc)
+    np.cumsum(np.cumsum(g, axis=0, dtype=acc), axis=1, out=ii[1:, 1:])
     h, w = gray.shape
     s = (
         ii[block:, block:]
@@ -95,16 +118,15 @@ def binomial5_blur(gray: np.ndarray) -> np.ndarray:
     """Separable [1,4,6,4,1]/16 blur ~= cv2.GaussianBlur(5,5,0)."""
     k = np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
     g = gray.astype(np.float64)
-    p = np.pad(g, ((2, 2), (0, 0)), mode="edge")
+    p = _pad_edge(g, 2, 2, 0, 0)
     v = sum(p[i : i + g.shape[0]] * k[i] for i in range(5))
-    p = np.pad(v, ((0, 0), (2, 2)), mode="edge")
+    p = _pad_edge(v, 0, 0, 2, 2)
     out = sum(p[:, i : i + g.shape[1]] * k[i] for i in range(5))
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
 def _window_view(gray: np.ndarray, kh: int, kw: int) -> np.ndarray:
-    p = np.pad(gray, ((kh // 2, kh - 1 - kh // 2), (kw // 2, kw - 1 - kw // 2)),
-               mode="edge")
+    p = _pad_edge(gray, kh // 2, kh - 1 - kh // 2, kw // 2, kw - 1 - kw // 2)
     return np.lib.stride_tricks.sliding_window_view(p, (kh, kw))
 
 
@@ -116,7 +138,7 @@ def median3(gray: np.ndarray) -> np.ndarray:
     """
     if gray.shape[0] < 3 or gray.shape[1] < 3:
         return gray.copy()
-    p = np.pad(gray, 1, mode="edge")
+    p = _pad_edge(gray, 1, 1, 1, 1)
     h, w = gray.shape
     v = [p[y : y + h, x : x + w] for y in range(3) for x in range(3)]
 
@@ -172,14 +194,29 @@ def adaptive_threshold_inv(gray: np.ndarray, block: int, c: float) -> np.ndarray
 
 def _window_count(binary: np.ndarray, kh: int, kw: int) -> np.ndarray:
     """Count of set pixels in each centered kh x kw window, edge-padded
-    (edge replication == clamped windows of the original mask border)."""
+    (edge replication == clamped windows of the original mask border).
+
+    1-D kernels (the line-morphology hot path: 1 x klen / klen x 1) use
+    a single-axis cumsum — same counts, half the integral work."""
+    h, w = binary.shape
+    b = (binary != 0).view(np.uint8)
+    if kh == 1:
+        pw = kw // 2
+        p = _pad_edge(b, 0, 0, pw, kw - 1 - pw)
+        ii = np.zeros((h, p.shape[1] + 1), dtype=np.int32)
+        np.cumsum(p, axis=1, out=ii[:, 1:])
+        return (ii[:, kw:] - ii[:, :-kw])[:, :w]
+    if kw == 1:
+        ph = kh // 2
+        p = _pad_edge(b, ph, kh - 1 - ph, 0, 0)
+        ii = np.zeros((p.shape[0] + 1, w), dtype=np.int32)
+        np.cumsum(p, axis=0, out=ii[1:, :])
+        return (ii[kh:, :] - ii[:-kh, :])[:h, :]
     ph, pw = kh // 2, kw // 2
-    p = np.pad(binary != 0, ((ph, kh - 1 - ph), (pw, kw - 1 - pw)),
-               mode="edge")
+    p = _pad_edge(b, ph, kh - 1 - ph, pw, kw - 1 - pw)
     ii = np.zeros((p.shape[0] + 1, p.shape[1] + 1), dtype=np.int32)
     np.cumsum(np.cumsum(p, axis=0, dtype=np.int32), axis=1,
               out=ii[1:, 1:])
-    h, w = binary.shape
     s = (
         ii[kh:, kw:]
         - ii[:-kh, kw:]
