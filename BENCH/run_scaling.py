@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -65,8 +66,20 @@ spark.stop()
 
 
 def run_level(cpus: int, tier: str, runs: int) -> dict:
+    """Run one parallelism level, CPU-pinned to exactly `cpus` cores.
+
+    The pinning is what makes local[N] a faithful stand-in for an
+    N-core cluster: without it, the small run's JVM helper threads
+    (GC, parquet IO, Arrow serialization) spill onto the machine's
+    idle cores and the 8-task run enjoys the full 32-core memory
+    bandwidth — overstating small-cluster throughput and understating
+    scaling efficiency.  A real N-executor cluster has N cores total.
+    """
+    cmd = [sys.executable, "-c", _CHILD, REPO, str(cpus), tier, str(runs)]
+    if sys.platform == "linux" and shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", _CHILD, REPO, str(cpus), tier, str(runs)],
+        cmd,
         capture_output=True, text=True, check=True,
     )
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
@@ -105,7 +118,9 @@ def main() -> None:
 Protocol (BASELINE.md §3): same job (full quality filter: read ->
 decode+features -> cascade -> scrub -> parquet sink) on the same input
 ({lo['rows']} rows, fixture tier `{args.rows_tier}`, seed 42), fresh JVM per
-parallelism level, 1 warm-up + {args.runs} timed runs, median.
+parallelism level CPU-PINNED to its core budget (taskset -c 0-N-1 —
+a real N-executor cluster has N cores of compute and bandwidth total),
+1 warm-up + {args.runs} timed runs, median.
 
 | run | parallelism | rows | wall s (median of {args.runs}) | images/sec | efficiency vs N |
 |---|---|---|---|---|---|
