@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- events (window/sequential ops) ---
         "event_gaps": corpus.event_gaps,
         "event_rollup": corpus.event_rollup,
+        "weighted_median_value": corpus.weighted_median_value,
         # --- TPC-H-ish rollup/join/grid/topk ---
         "lineitem_rollup": corpus.lineitem_rollup,
         "top_customers": corpus.top_customers,
@@ -757,6 +758,21 @@ def oracle_sql() -> dict[str, str]:
         "mm_video_frames": (
             f"SELECT video_id, frame_idx, mean_brightness, contrast "
             f"FROM read_parquet('{xxh['video']}')"
+        ),
+        # W2 weighted median: cumulative-weight window, ANSI on both
+        # engines (integer weights -> exact float64 running sums)
+        "weighted_median_value": (
+            """
+            WITH t AS (
+              SELECT event_type, value,
+                     SUM(CAST(event_id % 10 + 1 AS DOUBLE))
+                       OVER (PARTITION BY event_type ORDER BY value) AS cum,
+                     SUM(CAST(event_id % 10 + 1 AS DOUBLE))
+                       OVER (PARTITION BY event_type) AS tot
+              FROM events)
+            SELECT event_type, MIN(value) AS weighted_median
+            FROM t WHERE cum >= tot / 2.0 GROUP BY event_type
+            """
         ),
         # qf_line_features / qf_enhance_stats: single-node numpy oracle
         # over the identical fixture bytes (make_oracle_sidecars.

@@ -345,6 +345,34 @@ def event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (reference rotate_any_angle.py:96-104): weighted median as a
+    window op — sort by value, running weight, first value whose
+    cumulative weight reaches half the total.  Weights are small exact
+    integers (event_id % 10 + 1) so cumulative float64 sums are
+    order-independent and engine-exact."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "wt", (F.col("event_id") % 10 + 1).cast("double")
+    )
+    # default frame = RANGE UNBOUNDED PRECEDING..CURRENT ROW: peer rows
+    # (equal values) share the cumulative weight, same as ANSI SQL
+    cum_w = Window.partitionBy("event_type").orderBy("value")
+    tot_w = Window.partitionBy("event_type")
+    t = ev.select(
+        "event_type",
+        "value",
+        F.sum("wt").over(cum_w).alias("cum"),
+        F.sum("wt").over(tot_w).alias("tot"),
+    )
+    return (
+        t.filter(F.col("cum") >= F.col("tot") / 2.0)
+        .groupBy("event_type")
+        .agg(F.min("value").alias("weighted_median"))
+    )
+
+
 # ---------------------------------------------------------- TPC-H-ish
 
 def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
