@@ -72,16 +72,20 @@ def _rank_topk(pairs: DataFrame, k: int) -> DataFrame:
 
 
 def cosine_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
-    """Brute-force cosine top-k neighbors per vector (self excluded)."""
-    e = _emb(spark, sf_dir).select("vec_id", "v")
-    a = e.select(F.col("vec_id").alias("q"), F.col("v")).alias("a")
-    b = e.select(F.col("vec_id").alias("n"), F.col("v")).alias("b")
+    """Brute-force cosine top-k neighbors per vector (self excluded).
+
+    Norms are folded once per VECTOR before the join (bit-identical
+    per-vector fold), not once per pair — O(N) instead of O(N^2) norm
+    work under the N^2 pair blow-up."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "v", F.expr(_NORM.format(c="v")).alias("norm")
+    )
+    a = e.select(F.col("vec_id").alias("q"), "v", F.col("norm").alias("na")).alias("a")
+    b = e.select(F.col("vec_id").alias("n"), "v", F.col("norm").alias("nb")).alias("b")
     pairs = (
         a.crossJoin(b)
         .filter(F.col("q") != F.col("n"))
         .withColumn("dot", F.expr(_DOT))
-        .withColumn("na", F.expr(_NORM.format(c="a.v")))
-        .withColumn("nb", F.expr(_NORM.format(c="b.v")))
         .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
         .select("q", "n", "cos")
     )
@@ -94,15 +98,21 @@ def cosine_topk_bucketed(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFr
     At scale the bucket is the join/shuffle key: candidates per query
     drop from N to N/buckets, and both sides co-partition on it.
     """
-    e = _emb(spark, sf_dir).select("vec_id", "label", "v")
-    a = e.select(F.col("vec_id").alias("q"), F.col("label").alias("lb"), "v").alias("a")
-    b = e.select(F.col("vec_id").alias("n"), F.col("label").alias("lb"), "v").alias("b")
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", "v", F.expr(_NORM.format(c="v")).alias("norm")
+    )
+    a = e.select(
+        F.col("vec_id").alias("q"), F.col("label").alias("lb"), "v",
+        F.col("norm").alias("na"),
+    ).alias("a")
+    b = e.select(
+        F.col("vec_id").alias("n"), F.col("label").alias("lb"), "v",
+        F.col("norm").alias("nb"),
+    ).alias("b")
     pairs = (
         a.join(b, "lb")
         .filter(F.col("q") != F.col("n"))
         .withColumn("dot", F.expr(_DOT))
-        .withColumn("na", F.expr(_NORM.format(c="a.v")))
-        .withColumn("nb", F.expr(_NORM.format(c="b.v")))
         .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
         .select("q", "n", "cos")
     )
@@ -144,30 +154,38 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
 
     Scale path: (table, bucket) is the shuffle key; m tunes bucket
     size (candidates/query ~ L * n / 2^m), L tunes recall."""
-    e = _emb(spark, sf_dir).select("vec_id", "v").withColumn(
-        "buckets", _lsh_buckets_udf(F.col("v"))
+    e = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "v", F.expr(_NORM.format(c="v")).alias("norm"))
+        .withColumn("buckets", _lsh_buckets_udf(F.col("v")))
     )
     tabs = e.select(
-        "vec_id", "v", F.posexplode("buckets").alias("tab", "bucket")
+        "vec_id", "v", "norm", F.posexplode("buckets").alias("tab", "bucket")
     )
-    a = tabs.select(F.col("vec_id").alias("q"), "tab", "bucket", "v").alias("a")
-    b = tabs.select(F.col("vec_id").alias("n"), "tab", "bucket", "v").alias("b")
+    a = tabs.select(F.col("vec_id").alias("q"), "tab", "bucket")
+    b = tabs.select(F.col("vec_id").alias("n"), "tab", "bucket")
+    # candidate ids first, vectors re-attached after the union-dedup:
+    # the multi-table union would otherwise shuffle every vector array
+    # L times through dropDuplicates
     cand = (
         a.join(b, ["tab", "bucket"])
         .filter(F.col("q") != F.col("n"))
-        .select("q", "n", F.col("a.v").alias("av"), F.col("b.v").alias("bv"))
+        .select("q", "n")
         .dropDuplicates(["q", "n"])
     )
+    qa = e.select(F.col("vec_id").alias("q"), F.col("v").alias("av"),
+                  F.col("norm").alias("na"))
+    nb = e.select(F.col("vec_id").alias("n"), F.col("v").alias("bv"),
+                  F.col("norm").alias("nb"))
     pairs = (
-        cand.withColumn(
+        cand.join(qa, "q").join(nb, "n")
+        .withColumn(
             "dot",
             F.expr(
                 "aggregate(zip_with(av, bv, (x, y) -> x * y), cast(0.0 as double),"
                 " (acc, x) -> acc + x)"
             ),
         )
-        .withColumn("na", F.expr(_NORM.format(c="av")))
-        .withColumn("nb", F.expr(_NORM.format(c="bv")))
         .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
         .select("q", "n", "cos")
     )
