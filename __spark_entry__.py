@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": similarity.embedding_norms,
         "cosine_topk": similarity.cosine_topk,
         "cosine_topk_bucketed": similarity.cosine_topk_bucketed,
+        "cosine_neardup_pairs": similarity.cosine_neardup_pairs,
         "lsh_ann_topk": similarity.lsh_ann_topk,
         # --- multimodal plumbing ---
         "mm_image_thumbs": _mm_image_thumbs,
@@ -717,6 +718,27 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs
             )
             SELECT q, rank, n FROM ranked WHERE rank <= 5
+        """,
+        "cosine_neardup_pairs": """
+            WITH base AS (
+              SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            e AS (
+              SELECT vec_id, label, v FROM base
+              UNION ALL
+              SELECT vec_id + 1000000, label,
+                     list_prepend(v[1] + 0.05, v[2:]) AS v
+              FROM base),
+            pairs AS (
+              SELECT a.vec_id id1, b.vec_id id2,
+                     list_sum(list_transform(range(1, len(a.v) + 1),
+                        i -> a.v[i] * b.v[i]))
+                     / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+              FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            )
+            SELECT id1, id2, cos FROM pairs WHERE cos >= 0.99
         """,
         # xxhash64-dependent queries: the oracle is a pure-Python XXH64
         # replication (oracle/xxh64.py, Spark-parity proven in tests)

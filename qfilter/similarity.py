@@ -31,6 +31,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "cosine_topk",
     "cosine_topk_bucketed",
+    "cosine_neardup_pairs",
     "lsh_ann_topk",
     "embedding_norms",
     "LSH_SEED",
@@ -117,6 +118,47 @@ def cosine_topk_bucketed(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFr
         .select("q", "n", "cos")
     )
     return _rank_topk(pairs, k)
+
+
+def cosine_neardup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.99
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup shape, not top-k).
+
+    Dup plant: each vector also appears as a copy (vec_id + 1e6) with
+    its first component shifted by +0.05 — the vectors are
+    unit-normalized, so cos ~ 0.9988 against the source while random
+    pairs stay < 0.6 — the threshold pair set is exactly the planted
+    pairs plus none.  Search is bucketed by
+    `label` (the IVF coarse bucket): at scale the bucket is the
+    shuffle key and candidates drop by ~n_buckets x."""
+    e = _emb(spark, sf_dir).select("vec_id", "label", "v")
+    dup = e.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        "label",
+        F.expr(
+            "concat(array(v[0] + cast(0.05 as double)), slice(v, 2, size(v) - 1))"
+        ).alias("v"),
+    )
+    allv = e.unionByName(dup).withColumn(
+        "norm", F.expr(_NORM.format(c="v"))
+    )
+    a = allv.select(
+        F.col("vec_id").alias("id1"), F.col("label").alias("lb"), "v",
+        F.col("norm").alias("na"),
+    ).alias("a")
+    b = allv.select(
+        F.col("vec_id").alias("id2"), F.col("label").alias("lb"), "v",
+        F.col("norm").alias("nb"),
+    ).alias("b")
+    return (
+        a.join(b, "lb")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id1", "id2", "cos")
+    )
 
 
 def _planes(dim: int) -> np.ndarray:

@@ -108,3 +108,15 @@ def test_audio_error_channel(spark):
     rows = audio_features(df).collect()
     # odd byte count -> frombuffer error -> error channel, no task failure
     assert rows[0].error is not None
+
+
+def test_cosine_neardup_pairs_nontrivial(spark):
+    """Guard against an empty-vs-empty oracle comparison passing
+    trivially: the plant guarantees exactly one pair per base vector."""
+    from qfilter.similarity import cosine_neardup_pairs
+
+    rows = cosine_neardup_pairs(spark, SF).collect()
+    n_vec = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert len(rows) == n_vec
+    assert all(r.id2 - r.id1 == 1_000_000 for r in rows)
+    assert all(r.cos >= 0.99 for r in rows)
