@@ -56,6 +56,7 @@ def test_query_matches_oracle(spark, name, fn, sql):
         odf = con.execute(sql).df()
     a, b = _normalize(sdf), _normalize(odf)
     assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} vs {list(b.columns)}"
+    assert len(a) > 0, f"{name}: empty result — an empty-vs-empty comparison proves nothing"
     assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)}"
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
