@@ -37,7 +37,7 @@ def _sf_value(sf_dir: str) -> float:
         return 0.0
 
 
-def run_suite(spark, sf_dir: str, tier: str) -> tuple[dict, int]:
+def run_suite(spark, sf_dir: str, tier: str) -> tuple[dict, int, float]:
     from make_fixtures import ensure_fixtures
 
     from qfilter import corpus, similarity
@@ -77,6 +77,26 @@ def run_suite(spark, sf_dir: str, tier: str) -> tuple[dict, int]:
         # per-session costs, discarded per the BASELINE.md protocol
         e2e(images.limit(cpus * 64), "warmup")
         timed("qfilter_e2e", lambda: e2e(images, "labels"))
+
+        # BASELINE.md §3: the bench run itself must hit keep/drop
+        # F1 >= 0.99 vs the single-node oracle on the same rows
+        from pyspark.sql import functions as F
+
+        got = spark.read.parquet(os.path.join(sink, "labels")).select("image_id", "keep")
+        ref = (
+            spark.read.parquet(os.path.join(tdir, "labels_ref.parquet"))
+            .select("image_id", F.col("keep").alias("ref_keep"))
+        )
+        cm = (
+            got.join(ref, "image_id")
+            .agg(
+                F.sum((F.col("keep") & F.col("ref_keep")).cast("long")).alias("tp"),
+                F.sum((F.col("keep") & ~F.col("ref_keep")).cast("long")).alias("fp"),
+                F.sum((~F.col("keep") & F.col("ref_keep")).cast("long")).alias("fn"),
+            )
+            .collect()[0]
+        )
+        keep_f1 = 2 * cm.tp / max(2 * cm.tp + cm.fp + cm.fn, 1)
         timed("phash_dedup", lambda: phash_winners(images).count())
         timed("lineitem_rollup", lambda: corpus.lineitem_rollup(spark, sf_dir).count())
         timed("top_customers", lambda: corpus.top_customers(spark, sf_dir).count())
@@ -93,7 +113,7 @@ def run_suite(spark, sf_dir: str, tier: str) -> tuple[dict, int]:
         )
     finally:
         shutil.rmtree(sink, ignore_errors=True)
-    return timings, n_images
+    return timings, n_images, keep_f1
 
 
 def main() -> None:
@@ -101,7 +121,7 @@ def main() -> None:
 
     spark = get_spark(app="qfilter-bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
-    timings, n_images = run_suite(spark, SF_DIR, BENCH_TIER)
+    timings, n_images, keep_f1 = run_suite(spark, SF_DIR, BENCH_TIER)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "qfilter bench suite wall time (e2e filter + operator suite)",
@@ -111,6 +131,7 @@ def main() -> None:
         "sf": _sf_value(SF_DIR),
         "images": n_images,
         "images_per_sec": round(n_images / timings["qfilter_e2e"], 1),
+        "keep_f1_vs_oracle": round(keep_f1, 6),
         "cpus": CPUS,
     }
     print(json.dumps(out))
