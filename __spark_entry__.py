@@ -203,6 +203,33 @@ def _qf_enhance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: availableNow drain of the events table
+    through the watermarked tumbling-window agg (qfilter/streaming.py).
+    Append mode emits exactly the windows finalized by the watermark
+    (win_end <= max(ts) - 2h); the batch SQL oracle replicates that
+    cutoff, so this checks the streaming plan end-to-end."""
+    import tempfile
+
+    from qfilter.streaming import stream_event_window_counts
+
+    base = tempfile.mkdtemp(prefix="qf_stream_ev_")
+    land = os.path.join(base, "landing")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(land)
+    )
+    q = stream_event_window_counts(spark, land, out, ckpt)
+    q.awaitTermination(600)
+    return spark.read.parquet(out).select(
+        "win_start", "win_end", "event_type", "n", "sum_value"
+    )
+
+
 def _mm_image_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qfilter.multimodal import image_thumbnail
 
@@ -350,6 +377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_bucketed": similarity.cosine_topk_bucketed,
         "cosine_neardup_pairs": similarity.cosine_neardup_pairs,
         "lsh_ann_topk": similarity.lsh_ann_topk,
+        # --- streaming ---
+        "stream_event_windows": _stream_event_windows,
         # --- multimodal plumbing ---
         "mm_image_thumbs": _mm_image_thumbs,
         "mm_audio_features": _mm_audio,
@@ -638,6 +667,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
                    min(value) AS min_value, max(value) AS max_value
             FROM events GROUP BY event_type
+        """,
+        # streaming windowed agg: append mode emits windows finalized
+        # by the watermark (win_end <= max(ts) - 2h); hour buckets are
+        # epoch-aligned in both engines
+        "stream_event_windows": """
+            WITH m AS (SELECT max(ts) AS mx FROM events)
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+                   time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS win_end,
+                   event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events, m
+            GROUP BY 1, 2, 3, m.mx
+            HAVING win_end <= m.mx - INTERVAL '2 hours'
         """,
         "lineitem_rollup": """
             SELECT l_returnflag, l_linestatus,
