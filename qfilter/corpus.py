@@ -176,12 +176,20 @@ def trigram_jaccard_pairs(
         ).alias("text"),
     )
     all_docs = docs.unionByName(trunc)
-    tri = _doc_trigrams(all_docs).cache()
+    # join/shuffle on the 64-bit shingle hash, not the string: ~4x
+    # smaller shuffle keys; per-doc shingles are DISTINCT strings, so
+    # hashed counts match exactly absent an xxhash64 collision (~1e-8
+    # at this cardinality; the oracle parity test would surface one)
+    tri = (
+        _doc_trigrams(all_docs)
+        .select("doc_id", F.xxhash64("shingle").alias("sh"))
+        .cache()
+    )
     sizes = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = tri.alias("a")
     b = tri.alias("b")
     inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
