@@ -50,6 +50,7 @@ def _xxh_sidecars(sf_dir: str) -> dict[str, str]:
     from make_oracle_sidecars import (
         ensure_sidecar_audio,
         ensure_sidecar_enhance,
+        ensure_sidecar_ivf_ann,
         ensure_sidecar_lines,
         ensure_sidecar_lsh_ann,
         ensure_sidecar_minhash_pairs,
@@ -62,6 +63,7 @@ def _xxh_sidecars(sf_dir: str) -> dict[str, str]:
         "simhash": ensure_sidecar_simhash(sf_dir),
         "minhash_pairs": ensure_sidecar_minhash_pairs(sf_dir),
         "lsh_ann": ensure_sidecar_lsh_ann(sf_dir),
+        "ivf_ann": ensure_sidecar_ivf_ann(sf_dir),
         "thumbs": ensure_sidecar_thumbs(_fixture_dir()),
         "audio": ensure_sidecar_audio(),
         "video": ensure_sidecar_video(),
@@ -377,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_bucketed": similarity.cosine_topk_bucketed,
         "cosine_neardup_pairs": similarity.cosine_neardup_pairs,
         "lsh_ann_topk": similarity.lsh_ann_topk,
+        "ivf_ann_topk": similarity.ivf_ann_topk,
         # --- streaming ---
         "stream_event_windows": _stream_event_windows,
         # --- multimodal plumbing ---
@@ -794,6 +797,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lsh_ann_topk": (
             f"SELECT q, rank, n FROM read_parquet('{xxh['lsh_ann']}')"
+        ),
+        "ivf_ann_topk": (
+            f"SELECT q, rank, n FROM read_parquet('{xxh['ivf_ann']}')"
         ),
         "mm_image_thumbs": (
             f"SELECT image_id, thumb_md5, tw, th "

@@ -33,6 +33,8 @@ __all__ = [
     "cosine_topk_bucketed",
     "cosine_neardup_pairs",
     "lsh_ann_topk",
+    "ivf_ann_topk",
+    "ivf_fit_centroids",
     "embedding_norms",
     "LSH_SEED",
     "LSH_PLANES",
@@ -221,6 +223,110 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
                   F.col("norm").alias("nb"))
     pairs = (
         cand.join(qa, "q").join(nb, "n")
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(zip_with(av, bv, (x, y) -> x * y), cast(0.0 as double),"
+                " (acc, x) -> acc + x)"
+            ),
+        )
+        .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
+        .select("q", "n", "cos")
+    )
+    return _rank_topk(pairs, k)
+
+
+# ------------------------------------------------------------- IVF ANN
+
+IVF_SEED = 13
+IVF_K = 16        # coarse centroids (lists)
+IVF_ITERS = 10    # Lloyd iterations (fixed count -> deterministic)
+IVF_NPROBE = 2    # centroids probed per query
+
+
+def _fold_dots(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, dim) x (k, dim) -> (n, k) dot products via a strictly
+    left-to-right per-dim fold (cumsum), NOT BLAS matmul: dgemm
+    blocking varies with batch shape, and centroid assignment must not
+    depend on Arrow batch size (same rationale as lsh_bucket_ids)."""
+    return np.cumsum(mat[:, None, :] * cents[None, :, :], axis=2)[:, :, -1]
+
+
+def ivf_fit_centroids(
+    mat: np.ndarray, k: int = IVF_K, iters: int = IVF_ITERS
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+
+    Seeded init (PCG64(IVF_SEED) choice of k rows), a FIXED number of
+    iterations, fold-based distances, and lowest-index tie-breaks via
+    argmin — same centroids on every run over the same sample.  At
+    100 TB this runs on a driver-side sample; the centroid matrix is
+    then broadcast to executors (model-artifact pattern, SURVEY §4.2).
+    """
+    n = len(mat)
+    rng = np.random.default_rng(np.random.PCG64(IVF_SEED))
+    cents = mat[np.sort(rng.choice(n, size=k, replace=False))].copy()
+    for _ in range(iters):
+        # ||x-c||^2 ranking == (|c|^2 - 2 x.c) ranking per row
+        cn = np.cumsum(cents * cents, axis=1)[:, -1]
+        assign = np.argmin(cn[None, :] - 2.0 * _fold_dots(mat, cents), axis=1)
+        for j in range(k):
+            sel = mat[assign == j]
+            if len(sel):
+                cents[j] = sel.mean(axis=0)
+    return cents
+
+
+def _ivf_assign(mat: np.ndarray, cents: np.ndarray, nprobe: int) -> np.ndarray:
+    """(n, dim) -> (n, nprobe) nearest-centroid ids, deterministic
+    (fold dots; stable mergesort argsort for ties)."""
+    d2 = np.cumsum(cents * cents, axis=1)[:, -1][None, :] - 2.0 * _fold_dots(mat, cents)
+    return np.argsort(d2, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+
+
+def ivf_ann_topk(
+    spark: SparkSession, sf_dir: str, k: int = 5, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """IVF ANN: sample -> k-means coarse quantizer (driver) -> broadcast
+    centroids -> executor-side assignment UDF -> search restricted to
+    the query's nprobe nearest lists -> exact cosine rerank.
+
+    This is the real 100 TB IVF shape (vs `cosine_topk_bucketed`, which
+    reuses a precomputed label as the list id): the centroid artifact
+    ships like the text bundle (--files / broadcast), the list id is
+    the shuffle key, and nprobe trades recall for candidates/query
+    ~ nprobe * n / k."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(np.asarray(tbl["vec_id"]))  # deterministic sample order
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[order]
+    cents = ivf_fit_centroids(mat)
+    bc = spark.sparkContext.broadcast(cents)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(emb: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        return pd.Series(list(_ivf_assign(m, bc.value, nprobe)))
+
+    e = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "v", F.expr(_NORM.format(c="v")).alias("norm"))
+        .withColumn("probes", probes(F.col("v")))
+    )
+    # index side: each vector lives in its single nearest list
+    idx = e.select(
+        F.col("vec_id").alias("n"), F.col("v").alias("bv"),
+        F.col("norm").alias("nb"), F.col("probes")[0].alias("list_id"),
+    )
+    # query side: probe the nprobe nearest lists
+    qry = e.select(
+        F.col("vec_id").alias("q"), F.col("v").alias("av"),
+        F.col("norm").alias("na"), F.explode("probes").alias("list_id"),
+    )
+    pairs = (
+        qry.join(idx, "list_id")
+        .filter(F.col("q") != F.col("n"))
         .withColumn(
             "dot",
             F.expr(

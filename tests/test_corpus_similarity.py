@@ -120,3 +120,32 @@ def test_cosine_neardup_pairs_nontrivial(spark):
     assert len(rows) == n_vec
     assert all(r.id2 - r.id1 == 1_000_000 for r in rows)
     assert all(r.cos >= 0.99 for r in rows)
+
+
+def test_ivf_ann_recall(spark):
+    """IVF (nprobe=2 of 16 k-means lists) recall@5 vs brute force —
+    random embeddings cluster weakly, so the bound is modest (measured
+    0.43); structured corpora do far better."""
+    from qfilter.similarity import cosine_topk, ivf_ann_topk
+
+    exact = cosine_topk(spark, SF, k=5).collect()
+    approx = ivf_ann_topk(spark, SF, k=5).collect()
+    truth, got = {}, {}
+    for r in exact:
+        truth.setdefault(r.q, set()).add(r.n)
+    for r in approx:
+        got.setdefault(r.q, set()).add(r.n)
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    assert np.mean(recalls) >= 0.3, np.mean(recalls)
+
+
+def test_ivf_centroids_deterministic():
+    """Same sample -> bit-identical centroids (the broadcastable
+    artifact must not depend on run order or batch shape)."""
+    from qfilter.similarity import ivf_fit_centroids
+
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((300, 16))
+    c1 = ivf_fit_centroids(mat.copy())
+    c2 = ivf_fit_centroids(mat.copy())
+    assert np.array_equal(c1, c2)

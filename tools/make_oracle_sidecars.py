@@ -392,6 +392,62 @@ def build_enhance(fixture_dir: str) -> str:
     return path
 
 
+def build_ivf_ann(sf_dir: str, k: int = 5) -> str:
+    """Replicates similarity.ivf_ann_topk single-node: same sorted
+    sample matrix -> same deterministic k-means centroids -> same
+    fold-based assignment and exact left-to-right-fold rerank."""
+    from qfilter.similarity import IVF_NPROBE, _ivf_assign, ivf_fit_centroids
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids_raw = tbl.column("vec_id").to_pylist()
+    order = np.argsort(np.asarray(ids_raw))
+    ids = [ids_raw[i] for i in order]
+    mat = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+    )[order]
+    cents = ivf_fit_centroids(mat)
+    probes = _ivf_assign(mat, cents, IVF_NPROBE)  # (n, nprobe)
+    home = probes[:, 0]
+    by_list: dict[int, list] = {}
+    for row, lid in enumerate(home):
+        by_list.setdefault(int(lid), []).append(row)
+    cand = []
+    for i in range(len(ids)):
+        for lid in probes[i]:
+            for j in by_list.get(int(lid), ()):
+                if j != i:
+                    cand.append((i, j))
+    qi = np.array([c[0] for c in cand])
+    ni = np.array([c[1] for c in cand])
+    av, bv = mat[qi], mat[ni]
+    dots = np.cumsum(av * bv, axis=1)[:, -1]
+    na = np.sqrt(np.cumsum(av * av, axis=1)[:, -1])
+    nb = np.sqrt(np.cumsum(bv * bv, axis=1)[:, -1])
+    cos = dots / (na * nb)
+    out = {"q": [], "rank": [], "n": []}
+    per_q: dict[int, list] = {}
+    for (i, j), c in zip(cand, cos):
+        per_q.setdefault(i, []).append((c, ids[j]))
+    for i, lst in per_q.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (_, nid) in enumerate(lst[:k], start=1):
+            out["q"].append(ids[i])
+            out["rank"].append(rank)
+            out["n"].append(nid)
+    name = os.path.basename(os.path.normpath(sf_dir))
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, f"ivf_ann_{name}.parquet")
+    pq.write_table(
+        pa.table(out, schema=pa.schema([
+            ("q", pa.int64()), ("rank", pa.int32()), ("n", pa.int64()),
+        ])),
+        path,
+    )
+    return path
+
+
 def _ensure(path: str, builder, *args) -> str:
     if not os.path.exists(path):
         builder(*args)
@@ -451,3 +507,9 @@ if __name__ == "__main__":
         print(build_simhash(sf))
         print(build_minhash_pairs(sf))
         print(build_lsh_ann(sf))
+
+
+def ensure_sidecar_ivf_ann(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return _ensure(os.path.join(OUT_DIR, f"ivf_ann_{name}.parquet"),
+                   build_ivf_ann, sf_dir)
