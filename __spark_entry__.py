@@ -226,7 +226,9 @@ def _stream_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(land)
     )
     q = stream_event_window_counts(spark, land, out, ckpt)
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "availableNow stream drain timed out"
+    # base temp dir intentionally not removed: the returned DataFrame
+    # lazily reads from it until the caller materializes
     return spark.read.parquet(out).select(
         "win_start", "win_end", "event_type", "n", "sum_value"
     )

@@ -239,17 +239,24 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
 # ------------------------------------------------------------- IVF ANN
 
 IVF_SEED = 13
-IVF_K = 16        # coarse centroids (lists)
-IVF_ITERS = 10    # Lloyd iterations (fixed count -> deterministic)
-IVF_NPROBE = 2    # centroids probed per query
+IVF_K = 16          # coarse centroids (lists)
+IVF_ITERS = 10      # Lloyd iterations (fixed count -> deterministic)
+IVF_NPROBE = 2      # centroids probed per query
+IVF_SAMPLE_MAX = 4096  # quantizer training sample cap (driver-side)
 
 
 def _fold_dots(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
     """(n, dim) x (k, dim) -> (n, k) dot products via a strictly
-    left-to-right per-dim fold (cumsum), NOT BLAS matmul: dgemm
-    blocking varies with batch shape, and centroid assignment must not
-    depend on Arrow batch size (same rationale as lsh_bucket_ids)."""
-    return np.cumsum(mat[:, None, :] * cents[None, :, :], axis=2)[:, :, -1]
+    left-to-right per-dim fold, NOT BLAS matmul: dgemm blocking varies
+    with batch shape, and centroid assignment must not depend on Arrow
+    batch size (same rationale as lsh_bucket_ids).  The per-dim
+    accumulation loop keeps O(n*k) memory (a full cumsum would
+    materialize two (n, k, dim) temporaries) with the identical
+    ((x0+x1)+x2)... float64 add order."""
+    acc = mat[:, None, 0] * cents[None, :, 0]
+    for d in range(1, mat.shape[1]):
+        acc = acc + mat[:, None, d] * cents[None, :, d]
+    return acc
 
 
 def ivf_fit_centroids(
@@ -263,12 +270,13 @@ def ivf_fit_centroids(
     100 TB this runs on a driver-side sample; the centroid matrix is
     then broadcast to executors (model-artifact pattern, SURVEY §4.2).
     """
+    mat = mat[:IVF_SAMPLE_MAX]  # cap the training sample (see docstring)
     n = len(mat)
     rng = np.random.default_rng(np.random.PCG64(IVF_SEED))
     cents = mat[np.sort(rng.choice(n, size=k, replace=False))].copy()
     for _ in range(iters):
         # ||x-c||^2 ranking == (|c|^2 - 2 x.c) ranking per row
-        cn = np.cumsum(cents * cents, axis=1)[:, -1]
+        cn = np.cumsum(cents * cents, axis=1)[:, -1]  # (k,) |c|^2, row-wise fold
         assign = np.argmin(cn[None, :] - 2.0 * _fold_dots(mat, cents), axis=1)
         for j in range(k):
             sel = mat[assign == j]
@@ -301,6 +309,9 @@ def ivf_ann_topk(
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     order = np.argsort(np.asarray(tbl["vec_id"]))  # deterministic sample order
     mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[order]
+    # quantizer trains on the first IVF_SAMPLE_MAX sorted rows; at real
+    # scale replace this pyarrow read with a Spark-side .limit().collect()
+    # sample — the centroid matrix is tiny either way and ships broadcast
     cents = ivf_fit_centroids(mat)
     bc = spark.sparkContext.broadcast(cents)
 

@@ -484,6 +484,12 @@ def ensure_sidecar_lsh_ann(sf_dir: str) -> str:
                    build_lsh_ann, sf_dir)
 
 
+def ensure_sidecar_ivf_ann(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return _ensure(os.path.join(OUT_DIR, f"ivf_ann_{name}.parquet"),
+                   build_ivf_ann, sf_dir)
+
+
 def ensure_sidecar_thumbs(fixture_dir: str) -> str:
     tier = os.path.basename(os.path.normpath(fixture_dir))
     return _ensure(os.path.join(OUT_DIR, f"thumbs_{tier}.parquet"),
@@ -507,9 +513,13 @@ if __name__ == "__main__":
         print(build_simhash(sf))
         print(build_minhash_pairs(sf))
         print(build_lsh_ann(sf))
+        print(build_ivf_ann(sf))
+    # fixture-table sidecars (smoke tier is the driver gate's)
+    from make_fixtures import ensure_fixtures
 
-
-def ensure_sidecar_ivf_ann(sf_dir: str) -> str:
-    name = os.path.basename(os.path.normpath(sf_dir))
-    return _ensure(os.path.join(OUT_DIR, f"ivf_ann_{name}.parquet"),
-                   build_ivf_ann, sf_dir)
+    fdir = ensure_fixtures("smoke")
+    print(build_thumbs(fdir))
+    print(build_lines(fdir))
+    print(build_enhance(fdir))
+    print(build_audio_features())
+    print(build_video_frames())
