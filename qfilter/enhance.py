@@ -211,6 +211,39 @@ def _projection_score(binv: np.ndarray) -> float:
     return float((d * d).sum())
 
 
+def _rotate_gray_white(gray: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Single-channel rotate_bound_white — identical arithmetic on one
+    plane (the deskew search scores only one channel, so rotating a
+    3-channel stack there was 3x wasted gathers; outputs are
+    bit-identical to rotate_bound_white(...)[..., 0], tested)."""
+    h, w = gray.shape
+    th = np.deg2rad(angle_deg)
+    c, s = np.cos(th), np.sin(th)
+    nw = int(np.ceil(abs(w * c) + abs(h * s) - 1e-9))
+    nh = int(np.ceil(abs(w * s) + abs(h * c) - 1e-9))
+    yy, xx = np.mgrid[0:nh, 0:nw].astype(np.float64)
+    xo = xx - (nw - 1) / 2.0
+    yo = yy - (nh - 1) / 2.0
+    xi = c * xo + s * yo + (w - 1) / 2.0
+    yi = -s * xo + c * yo + (h - 1) / 2.0
+    x0 = np.floor(xi).astype(np.int64)
+    y0 = np.floor(yi).astype(np.int64)
+    fx = xi - x0
+    fy = yi - y0
+    valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+    x0c = np.clip(x0, 0, w - 2)
+    y0c = np.clip(y0, 0, h - 2)
+    p = gray.astype(np.float64)
+    v = (
+        p[y0c, x0c] * (1 - fx) * (1 - fy)
+        + p[y0c, x0c + 1] * fx * (1 - fy)
+        + p[y0c + 1, x0c] * (1 - fx) * fy
+        + p[y0c + 1, x0c + 1] * fx * fy
+    )
+    out = np.where(valid, v, 255.0)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
 def deskew_angle_search(
     gray: np.ndarray,
     coarse: tuple[float, float] = (0.5, 8.0),
@@ -221,11 +254,11 @@ def deskew_angle_search(
     row-projection gradient of the ink mask.  Returns degrees to rotate
     BY to deskew (positive = counterclockwise content skew)."""
     binv = adaptive_threshold_inv(gray, 31, 11)
-    px3 = np.stack([255 - binv] * 3, axis=-1)
+    plane = (255 - binv).astype(np.uint8)
 
     def score_at(a: float) -> float:
-        r = rotate_bound_white(px3, a)
-        rb = ((r[..., 0] < 128) * 255).astype(np.uint8)
+        r = _rotate_gray_white(plane, a)
+        rb = ((r < 128) * 255).astype(np.uint8)
         return _projection_score(rb)
 
     best = 0.0
