@@ -494,8 +494,30 @@ _DEFAULT: TextBundle | None = None
 
 
 def default_bundle() -> TextBundle:
-    """Process-cached default bundle (built once, deterministic)."""
+    """Process-cached bundle for the executor-side UDFs.
+
+    Resolution order (the spark-submit model-artifact path, north rule
+    "--files artifacts to every executor"):
+    1. $QFILTER_BUNDLE_DIR — explicit artifact directory;
+    2. SparkFiles root, when `langid.npz`/`lm.npz`/`scrub.json` were
+       shipped with `spark-submit --files` (load_bundle round-trips
+       save_bundle identically, tested);
+    3. otherwise build the deterministic default in-process.
+    """
     global _DEFAULT
     if _DEFAULT is None:
-        _DEFAULT = build_default_bundle()
+        d = os.environ.get("QFILTER_BUNDLE_DIR")
+        if not d:
+            try:
+                from pyspark import SparkFiles
+
+                cand = SparkFiles.getRootDirectory()
+                if all(
+                    os.path.exists(os.path.join(cand, f))
+                    for f in ("langid.npz", "lm.npz", "scrub.json")
+                ):
+                    d = cand
+            except Exception:  # noqa: BLE001 — no active Spark context
+                pass
+        _DEFAULT = load_bundle(d) if d else build_default_bundle()
     return _DEFAULT

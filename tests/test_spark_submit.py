@@ -71,3 +71,64 @@ def test_spark_submit_py_files(smoke_dir):
                 if ln.startswith("QFILTER_SUBMIT_RESULT ")]
         assert line, proc.stdout[-2000:]
         assert json.loads(line[0].split(" ", 1)[1])["rows"] == 64
+
+
+_ARTIFACT_PROBE = """
+import json, sys
+out_path = sys.argv[1]
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.appName("qfilter-artifact-smoke")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.shuffle.partitions", "4")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from qfilter.features import with_scrubbed_caption
+df = spark.createDataFrame(
+    [("x1", "contact zzsecretzz now"), ("x2", "plain caption")],
+    "image_id string, caption string",
+)
+rows = {r.image_id: (r.caption_scrubbed, r.tox_hits)
+        for r in with_scrubbed_caption(df).collect()}
+print("QFILTER_ARTIFACT_RESULT " + json.dumps(rows))
+spark.stop()
+"""
+
+
+def test_spark_submit_files_artifacts(tmp_path):
+    """North rule: model artifacts ship with --files and are loaded by
+    executors. Proof: a scrub bundle modified to flag 'zzsecretzz' is
+    shipped; the UDF only flags it if the SHIPPED bundle (not the
+    built-in default) was loaded."""
+    import pyspark
+
+    from qfilter.textops import build_default_bundle, save_bundle
+
+    submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    art = tmp_path / "artifacts"
+    bundle = build_default_bundle()
+    bundle.scrub.tox_words.append("zzsecretzz")  # marker absent from default
+    save_bundle(bundle, str(art))
+    zip_path = tmp_path / "qfilter.zip"
+    _build_zip(str(zip_path))
+    probe = tmp_path / "probe.py"
+    probe.write_text(_ARTIFACT_PROBE)
+    out_dir = tmp_path / "out"
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env.pop("QFILTER_BUNDLE_DIR", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    files = ",".join(str(art / f) for f in ("langid.npz", "lm.npz", "scrub.json"))
+    proc = subprocess.run(
+        [submit, "--master", "local[2]", "--py-files", str(zip_path),
+         "--files", files, str(probe), str(out_dir)],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("QFILTER_ARTIFACT_RESULT ")]
+    assert line, proc.stdout[-2000:]
+    rows = json.loads(line[0].split(" ", 1)[1])
+    scrubbed, tox = rows["x1"]
+    assert tox == 1 and "<TOX>" in scrubbed, rows  # shipped bundle applied
+    assert rows["x2"][1] == 0
