@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_enhance_stats": _qf_enhance_stats,
         # --- corpus text analytics over `documents` ---
         "text_quality_stats": corpus.text_quality_stats,
+        "doc_gopher_filter": corpus.doc_gopher_filter,
         "lang_rollup": corpus.lang_rollup,
         "exact_dedup": corpus.exact_dedup,
         "fingerprints": corpus.fingerprints,
@@ -616,6 +617,26 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
                      AS uniq_word_frac
             FROM documents
+        """,
+        "doc_gopher_filter": """
+            WITH s AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\s+')) AS nw,
+                     CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                       / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS mwl,
+                     CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+                       / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS uwf
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN nw < 25 THEN 'too_few_words'
+                        WHEN mwl < 4.0 THEN 'short_words'
+                        WHEN uwf < 0.4 THEN 'repetitive'
+                        ELSE 'ok' END AS reason,
+                   (CASE WHEN nw < 25 THEN 'too_few_words'
+                         WHEN mwl < 4.0 THEN 'short_words'
+                         WHEN uwf < 0.4 THEN 'repetitive'
+                         ELSE 'ok' END) = 'ok' AS keep
+            FROM s
         """,
         "lang_rollup": """
             SELECT lang, count(*) AS n_docs,
