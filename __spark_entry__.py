@@ -618,7 +618,7 @@ def oracle_sql() -> dict[str, str]:
                      AS uniq_word_frac
             FROM documents
         """,
-        "doc_gopher_filter": """
+        "doc_gopher_filter": r"""
             WITH s AS (
               SELECT doc_id,
                      len(string_split_regex(trim(text), '\s+')) AS nw,
