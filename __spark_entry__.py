@@ -621,22 +621,22 @@ def oracle_sql() -> dict[str, str]:
         "doc_gopher_filter": r"""
             WITH s AS (
               SELECT doc_id,
-                     len(string_split_regex(trim(text), '\s+')) AS nw,
+                     len(string_split_regex(trim(text), '\s+')) AS n_words,
                      CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-                       / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS mwl,
+                       / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                       AS mean_word_len,
                      CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
-                       / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS uwf
-              FROM documents)
-            SELECT doc_id,
-                   CASE WHEN nw < 25 THEN 'too_few_words'
-                        WHEN mwl < 4.0 THEN 'short_words'
-                        WHEN uwf < 0.4 THEN 'repetitive'
-                        ELSE 'ok' END AS reason,
-                   (CASE WHEN nw < 25 THEN 'too_few_words'
-                         WHEN mwl < 4.0 THEN 'short_words'
-                         WHEN uwf < 0.4 THEN 'repetitive'
-                         ELSE 'ok' END) = 'ok' AS keep
-            FROM s
+                       / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                       AS uniq_word_frac
+              FROM documents),
+            r AS (
+              SELECT doc_id,
+                     CASE WHEN n_words < 25 THEN 'too_few_words'
+                          WHEN mean_word_len < 4.0 THEN 'short_words'
+                          WHEN uniq_word_frac < 0.4 THEN 'repetitive'
+                          ELSE 'ok' END AS reason
+              FROM s)
+            SELECT doc_id, reason, reason = 'ok' AS keep FROM r
         """,
         "lang_rollup": """
             SELECT lang, count(*) AS n_docs,

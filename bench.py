@@ -75,9 +75,10 @@ def run_suite(spark, sf_dir: str, tier: str) -> tuple[dict, int, float]:
 
         # untimed warm-up slice: Python worker spawn + codegen/JIT are
         # per-session costs, discarded per the BASELINE.md protocol.
-        # A hash filter, not limit(): per-partition LocalLimit(2048)
-        # would not truncate ~1250-row partitions, so limit() would run
-        # the UDFs over ALL rows before the global limit discards them.
+        # A hash filter, not limit(): limit() funnels everything through
+        # a single-partition GlobalLimit exchange (shuffling the bytes
+        # column) and warms only ONE Python worker; the filter touches
+        # ~1/59 of rows across every partition and worker.
         from pyspark.sql import functions as F
 
         e2e(images.filter(F.crc32(F.col("image_id")) % 59 == 0), "warmup")

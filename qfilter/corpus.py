@@ -78,20 +78,17 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style standalone document filter (the corpus-level analog
     of the caption rules inside the main cascade): ordered
-    first-match-wins when-chain over exact counter expressions, pure
-    Catalyst — the same shape as qfilter.cascade (SURVEY §2.9)."""
-    docs = load(spark, sf_dir, "documents")
-    nw = F.size(_words())
-    compact = F.regexp_replace(F.col("text"), r"\s+", "")
-    mwl = F.length(compact).cast("double") / nw.cast("double")
-    uwf = F.size(F.array_distinct(_words())).cast("double") / nw.cast("double")
+    first-match-wins when-chain, pure Catalyst — the same shape as
+    qfilter.cascade (SURVEY §2.9).  The counters come from
+    text_quality_stats so there is exactly one definition of them."""
+    stats = text_quality_stats(spark, sf_dir)
     reason = (
-        F.when(nw < 25, F.lit("too_few_words"))
-        .when(mwl < 4.0, F.lit("short_words"))
-        .when(uwf < 0.4, F.lit("repetitive"))
+        F.when(F.col("n_words") < 25, F.lit("too_few_words"))
+        .when(F.col("mean_word_len") < 4.0, F.lit("short_words"))
+        .when(F.col("uniq_word_frac") < 0.4, F.lit("repetitive"))
         .otherwise(F.lit("ok"))
     )
-    return docs.select(
+    return stats.select(
         "doc_id",
         reason.alias("reason"),
         (reason == "ok").alias("keep"),

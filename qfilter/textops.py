@@ -506,17 +506,25 @@ def default_bundle() -> TextBundle:
     """
     global _DEFAULT
     if _DEFAULT is None:
+        names = ("langid.npz", "lm.npz", "scrub.json")
         d = os.environ.get("QFILTER_BUNDLE_DIR")
         if not d:
             try:
                 from pyspark import SparkFiles
 
                 cand = SparkFiles.getRootDirectory()
-                if all(
-                    os.path.exists(os.path.join(cand, f))
-                    for f in ("langid.npz", "lm.npz", "scrub.json")
-                ):
+                present = [f for f in names if os.path.exists(os.path.join(cand, f))]
+                if len(present) == len(names):
                     d = cand
+                elif present:
+                    # fail loudly on a partial ship — a silent fallback to
+                    # the built-in bundle would mask the deployment mistake
+                    raise RuntimeError(
+                        f"partial artifact bundle in SparkFiles: found {present}, "
+                        f"need all of {list(names)}"
+                    )
+            except RuntimeError:
+                raise
             except Exception:  # noqa: BLE001 — no active Spark context
                 pass
         _DEFAULT = load_bundle(d) if d else build_default_bundle()

@@ -74,8 +74,7 @@ def test_spark_submit_py_files(smoke_dir):
 
 
 _ARTIFACT_PROBE = """
-import json, sys
-out_path = sys.argv[1]
+import json
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.appName("qfilter-artifact-smoke")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -112,7 +111,6 @@ def test_spark_submit_files_artifacts(tmp_path):
     _build_zip(str(zip_path))
     probe = tmp_path / "probe.py"
     probe.write_text(_ARTIFACT_PROBE)
-    out_dir = tmp_path / "out"
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
     env.pop("QFILTER_BUNDLE_DIR", None)
@@ -121,7 +119,7 @@ def test_spark_submit_files_artifacts(tmp_path):
     files = ",".join(str(art / f) for f in ("langid.npz", "lm.npz", "scrub.json"))
     proc = subprocess.run(
         [submit, "--master", "local[2]", "--py-files", str(zip_path),
-         "--files", files, str(probe), str(out_dir)],
+         "--files", files, str(probe)],
         cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=420,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -132,3 +130,27 @@ def test_spark_submit_files_artifacts(tmp_path):
     scrubbed, tox = rows["x1"]
     assert tox == 1 and "<TOX>" in scrubbed, rows  # shipped bundle applied
     assert rows["x2"][1] == 0
+
+
+def test_partial_artifact_ship_fails_loudly(tmp_path, monkeypatch):
+    """A partially shipped --files bundle must raise, not silently fall
+    back to the built-in default (which would skip custom scrub terms)."""
+    import pytest
+
+    import qfilter.textops as textops
+
+    (tmp_path / "scrub.json").write_text('{"pii": ["x"], "tox": ["y"]}')
+
+    class _Files:
+        @staticmethod
+        def getRootDirectory():
+            return str(tmp_path)
+
+    import pyspark
+
+    monkeypatch.setattr(pyspark, "SparkFiles", _Files)
+    monkeypatch.setattr(textops, "_DEFAULT", None)
+    monkeypatch.delenv("QFILTER_BUNDLE_DIR", raising=False)
+    with pytest.raises(RuntimeError, match="partial artifact bundle"):
+        textops.default_bundle()
+    monkeypatch.setattr(textops, "_DEFAULT", None)  # don't poison the cache
