@@ -211,27 +211,34 @@ def _stream_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Append mode emits exactly the windows finalized by the watermark
     (win_end <= max(ts) - 2h); the batch SQL oracle replicates that
     cutoff, so this checks the streaming plan end-to-end."""
+    import shutil
     import tempfile
 
     from qfilter.streaming import stream_event_window_counts
 
     base = tempfile.mkdtemp(prefix="qf_stream_ev_")
-    land = os.path.join(base, "landing")
-    out = os.path.join(base, "out")
-    ckpt = os.path.join(base, "ckpt")
-    (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .repartition(4)
-        .write.mode("overwrite")
-        .parquet(land)
-    )
-    q = stream_event_window_counts(spark, land, out, ckpt)
-    assert q.awaitTermination(600), "availableNow stream drain timed out"
-    # base temp dir intentionally not removed: the returned DataFrame
-    # lazily reads from it until the caller materializes
-    return spark.read.parquet(out).select(
-        "win_start", "win_end", "event_type", "n", "sum_value"
-    )
+    try:
+        land = os.path.join(base, "landing")
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(land)
+        )
+        q = stream_event_window_counts(spark, land, out, ckpt)
+        assert q.awaitTermination(600), "availableNow stream drain timed out"
+        res = spark.read.parquet(out).select(
+            "win_start", "win_end", "event_type", "n", "sum_value"
+        )
+        # materialize before deleting the temp dir (a lazy read from it
+        # would leak a full repartitioned copy of events.parquet per run)
+        pdf = res.toPandas()
+        schema = res.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema)
 
 
 def _mm_image_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -111,7 +111,19 @@ def run_suite(spark, sf_dir: str, tier: str) -> tuple[dict, int, float]:
             "trigram_jaccard",
             lambda: corpus.trigram_jaccard_pairs(spark, sf_dir).count(),
         )
-        timed("doc_nlp_batch", lambda: corpus.simhash64(spark, sf_dir).count())
+        # r01 recorded simhash64 under the key "doc_nlp_batch" (label
+        # bug); from r02 both run under their real names.
+        timed("simhash64", lambda: corpus.simhash64(spark, sf_dir).count())
+        from __spark_entry__ import queries as _entry_queries
+
+        # agg over the UDF outputs, not count(): a bare count() lets
+        # Catalyst prune the projection and skip the UDF entirely
+        timed(
+            "doc_nlp_batch",
+            lambda: _entry_queries()["doc_nlp"](spark, sf_dir)
+            .agg(F.sum("token_count"), F.count("lang_pred"))
+            .collect(),
+        )
         timed(
             "cosine_topk_bucketed",
             lambda: similarity.cosine_topk_bucketed(spark, sf_dir).count(),

@@ -97,7 +97,13 @@ def _integral_means(gray: np.ndarray, block: int) -> np.ndarray:
     bit-identical to the previous all-float64 version, just cheaper)."""
     r = block // 2
     g = _pad_edge(gray, r, r, r, r)
-    acc = np.int32 if g.size * 255 < 2**31 else np.int64
+    if gray.dtype != np.uint8:
+        # integer fast path assumes uint8 values (max 255 in the
+        # overflow bound below); any other dtype gets exact float64
+        # accumulation instead of silent truncation
+        acc = np.float64
+    else:
+        acc = np.int32 if g.size * 255 < 2**31 else np.int64
     ii = np.zeros((g.shape[0] + 1, g.shape[1] + 1), dtype=acc)
     np.cumsum(np.cumsum(g, axis=0, dtype=acc), axis=1, out=ii[1:, 1:])
     h, w = gray.shape

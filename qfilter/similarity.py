@@ -74,12 +74,27 @@ def _rank_topk(pairs: DataFrame, k: int) -> DataFrame:
     )
 
 
-def cosine_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+COSINE_BRUTE_MAX = 50_000  # refuse the O(N^2) baseline beyond this
+
+
+def cosine_topk(
+    spark: SparkSession, sf_dir: str, k: int = 5, max_rows: int = COSINE_BRUTE_MAX
+) -> DataFrame:
     """Brute-force cosine top-k neighbors per vector (self excluded).
 
     Norms are folded once per VECTOR before the join (bit-identical
     per-vector fold), not once per pair — O(N) instead of O(N^2) norm
-    work under the N^2 pair blow-up."""
+    work under the N^2 pair blow-up.  This is the exactness BASELINE
+    for recall tests only: it refuses inputs over ``max_rows`` so the
+    cartesian product can never be pointed at a production-sized table
+    (use cosine_topk_bucketed / lsh_ann_topk / ivf_ann_topk there)."""
+    n_rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"cosine_topk is the brute-force O(N^2) baseline; input has "
+            f"{n_rows} rows > max_rows={max_rows}. Use cosine_topk_bucketed, "
+            f"lsh_ann_topk or ivf_ann_topk for large tables."
+        )
     e = _emb(spark, sf_dir).select(
         "vec_id", "v", F.expr(_NORM.format(c="v")).alias("norm")
     )
@@ -272,6 +287,9 @@ def ivf_fit_centroids(
     """
     mat = mat[:IVF_SAMPLE_MAX]  # cap the training sample (see docstring)
     n = len(mat)
+    if n == 0:
+        raise ValueError("ivf_fit_centroids: empty training sample")
+    k = min(k, n)  # tiny fixtures: never ask choice() for more rows than exist
     rng = np.random.default_rng(np.random.PCG64(IVF_SEED))
     cents = mat[np.sort(rng.choice(n, size=k, replace=False))].copy()
     for _ in range(iters):
@@ -304,14 +322,18 @@ def ivf_ann_topk(
     ships like the text bundle (--files / broadcast), the list id is
     the shuffle key, and nprobe trades recall for candidates/query
     ~ nprobe * n / k."""
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    order = np.argsort(np.asarray(tbl["vec_id"]))  # deterministic sample order
-    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[order]
-    # quantizer trains on the first IVF_SAMPLE_MAX sorted rows; at real
-    # scale replace this pyarrow read with a Spark-side .limit().collect()
-    # sample — the centroid matrix is tiny either way and ships broadcast
+    # quantizer training sample: Spark-side orderBy+limit so ONLY the
+    # <=IVF_SAMPLE_MAX sample rows ever reach the driver — at 100 TB a
+    # full-table driver read would OOM before training begins.  Sorted
+    # by vec_id => identical rows/order to the single-node oracle.
+    sample = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(IVF_SAMPLE_MAX)
+        .collect()
+    )
+    mat = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
     cents = ivf_fit_centroids(mat)
     bc = spark.sparkContext.broadcast(cents)
 

@@ -149,3 +149,22 @@ def test_ivf_centroids_deterministic():
     c1 = ivf_fit_centroids(mat.copy())
     c2 = ivf_fit_centroids(mat.copy())
     assert np.array_equal(c1, c2)
+
+
+def test_cosine_topk_refuses_large_input(spark):
+    """The brute-force baseline must never run at scale: over max_rows
+    it raises and points at the bucketed/LSH/IVF paths."""
+    from qfilter.similarity import cosine_topk
+
+    with pytest.raises(ValueError, match="brute-force"):
+        cosine_topk(spark, SF, k=5, max_rows=10)
+
+
+def test_ivf_small_sample_clamps_k():
+    """A tiny training sample must clamp k instead of crashing
+    rng.choice(replace=False) (ADVICE r01)."""
+    from qfilter.similarity import IVF_K, ivf_fit_centroids
+
+    mat = np.random.default_rng(3).standard_normal((IVF_K - 9, 8))
+    cents = ivf_fit_centroids(mat)
+    assert cents.shape == (IVF_K - 9, 8)

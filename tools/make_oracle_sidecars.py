@@ -51,10 +51,8 @@ def build_for(sf_dir: str) -> str:
 
 def ensure_sidecar(sf_dir: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(OUT_DIR, f"docs_nlp_{name}.parquet")
-    if not os.path.exists(path):
-        build_for(sf_dir)
-    return path
+    return _ensure(os.path.join(OUT_DIR, f"docs_nlp_{name}.parquet"),
+                   build_for, sf_dir, deps=("qfilter/textops.py",))
 
 
 # ------------------------------------------------- xxhash64-based oracles
@@ -448,62 +446,103 @@ def build_ivf_ann(sf_dir: str, k: int = 5) -> str:
     return path
 
 
-def _ensure(path: str, builder, *args) -> str:
-    if not os.path.exists(path):
-        builder(*args)
+_SELF_DEP = "tools/make_oracle_sidecars.py"
+
+
+def _dep_hash(dep_files: tuple[str, ...]) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for rel in dep_files:
+        h.update(rel.encode())
+        h.update(b"\0")
+        with open(os.path.join(REPO, rel), "rb") as f:
+            h.update(f.read())
+        h.update(b"\0")
+    return h.hexdigest()
+
+
+def _ensure(path: str, builder, *args, deps: tuple[str, ...] = ()) -> str:
+    """Build the sidecar unless it exists AND its recorded dependency
+    hash (kernel sources + this tool) matches — a kernel change
+    regenerates the single-node oracle automatically instead of failing
+    loudly at parity-compare time with a stale committed sidecar."""
+    import json
+
+    dep_files = (_SELF_DEP, *deps)
+    want = _dep_hash(dep_files)
+    meta = path + ".deps.json"
+    if os.path.exists(path) and os.path.exists(meta):
+        try:
+            with open(meta) as f:
+                if json.load(f)["sha256"] == want:
+                    return path
+        except Exception:  # noqa: BLE001 — corrupt meta -> rebuild
+            pass
+    builder(*args)
+    with open(meta, "w") as f:
+        json.dump({"sha256": want, "deps": list(dep_files)}, f, indent=1)
     return path
+
+
+_IMG_DEPS = ("qfilter/enhance.py", "qfilter/imageops.py", "qfilter/codecs.py",
+             "tools/make_fixtures.py")
 
 
 def ensure_sidecar_lines(fixture_dir: str) -> str:
     tier = os.path.basename(os.path.normpath(fixture_dir))
     return _ensure(os.path.join(OUT_DIR, f"lines_{tier}.parquet"),
-                   build_lines, fixture_dir)
+                   build_lines, fixture_dir, deps=_IMG_DEPS)
 
 
 def ensure_sidecar_enhance(fixture_dir: str) -> str:
     tier = os.path.basename(os.path.normpath(fixture_dir))
     return _ensure(os.path.join(OUT_DIR, f"enhance_{tier}.parquet"),
-                   build_enhance, fixture_dir)
+                   build_enhance, fixture_dir, deps=_IMG_DEPS)
 
 
 def ensure_sidecar_simhash(sf_dir: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
     return _ensure(os.path.join(OUT_DIR, f"simhash_{name}.parquet"),
-                   build_simhash, sf_dir)
+                   build_simhash, sf_dir, deps=("oracle/xxh64.py",))
 
 
 def ensure_sidecar_minhash_pairs(sf_dir: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
     return _ensure(os.path.join(OUT_DIR, f"minhash_pairs_{name}.parquet"),
-                   build_minhash_pairs, sf_dir)
+                   build_minhash_pairs, sf_dir, deps=("oracle/xxh64.py",))
 
 
 def ensure_sidecar_lsh_ann(sf_dir: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
     return _ensure(os.path.join(OUT_DIR, f"lsh_ann_{name}.parquet"),
-                   build_lsh_ann, sf_dir)
+                   build_lsh_ann, sf_dir, deps=("qfilter/similarity.py",))
 
 
 def ensure_sidecar_ivf_ann(sf_dir: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
     return _ensure(os.path.join(OUT_DIR, f"ivf_ann_{name}.parquet"),
-                   build_ivf_ann, sf_dir)
+                   build_ivf_ann, sf_dir, deps=("qfilter/similarity.py",))
 
 
 def ensure_sidecar_thumbs(fixture_dir: str) -> str:
     tier = os.path.basename(os.path.normpath(fixture_dir))
     return _ensure(os.path.join(OUT_DIR, f"thumbs_{tier}.parquet"),
-                   build_thumbs, fixture_dir)
+                   build_thumbs, fixture_dir,
+                   deps=("qfilter/multimodal.py", "qfilter/codecs.py",
+                         "tools/make_fixtures.py"))
 
 
 def ensure_sidecar_audio() -> str:
     return _ensure(os.path.join(OUT_DIR, "audio_features_synth.parquet"),
-                   build_audio_features)
+                   build_audio_features,
+                   deps=("qfilter/multimodal.py", "tools/make_fixtures.py"))
 
 
 def ensure_sidecar_video() -> str:
     return _ensure(os.path.join(OUT_DIR, "video_frames_synth.parquet"),
-                   build_video_frames)
+                   build_video_frames,
+                   deps=("qfilter/multimodal.py", "tools/make_fixtures.py"))
 
 
 if __name__ == "__main__":
