@@ -421,11 +421,19 @@ def oracle_sql() -> dict[str, str]:
                list_slice(ws, 1, greatest(CAST(floor(len(ws) * 0.8) AS INT), 1))
         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') ws FROM documents)
       ),
-      tri AS (
+      tri_all AS (
         SELECT DISTINCT doc_id,
                ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS shingle
         FROM docs, UNNEST(range(0, greatest(len(ws) - 2, 0))) AS t(i)
         WHERE len(ws) >= 3
+      ),
+      -- document-frequency cap (stop-shingle removal), mirroring
+      -- corpus.TRIGRAM_DF_CAP: jaccard is over KEPT shingles only
+      keep_sh AS (
+        SELECT shingle FROM tri_all GROUP BY shingle HAVING count(*) <= 64
+      ),
+      tri AS (
+        SELECT t.doc_id, t.shingle FROM tri_all t JOIN keep_sh USING (shingle)
       ),
       sizes AS (SELECT doc_id, count(*) n_sh FROM tri GROUP BY doc_id),
       inter AS (

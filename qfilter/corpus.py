@@ -181,8 +181,14 @@ def _doc_trigrams(docs: DataFrame) -> DataFrame:
     return tri.distinct()
 
 
+TRIGRAM_DF_CAP = 64  # drop shingles present in more docs than this
+
+
 def trigram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    df_cap: int = TRIGRAM_DF_CAP,
 ) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs.  Dup plant: each doc vs a
     copy truncated to its first 80% of words (id + 1e6) => known
@@ -200,11 +206,22 @@ def trigram_jaccard_pairs(
     # smaller shuffle keys; per-doc shingles are DISTINCT strings, so
     # hashed counts match exactly absent an xxhash64 collision (~1e-8
     # at this cardinality; the oracle parity test would surface one)
-    tri = (
-        _doc_trigrams(all_docs)
-        .select("doc_id", F.xxhash64("shingle").alias("sh"))
-        .cache()
+    tri_all = _doc_trigrams(all_docs).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
     )
+    # document-frequency cap (stop-shingle removal): one corpus-common
+    # trigram ("one of the") would otherwise produce O(df^2) rows in
+    # the self-join below — the scale-killer at 100 TB.  Jaccard is
+    # computed over the KEPT shingles on both sides (sizes included),
+    # mirrored exactly in the DuckDB oracle.  The df agg and the join
+    # back both shuffle on `sh`, so they co-partition.
+    keep_sh = (
+        tri_all.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("sh")
+    )
+    tri = tri_all.join(keep_sh, "sh").cache()
     sizes = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = tri.alias("a")
     b = tri.alias("b")
@@ -318,25 +335,36 @@ def minhash_lsh_dup_pairs(
 
 
 def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document — pure DataFrame ops: explode words,
-    xxhash64 per word, per-bit +-1 votes, sign -> bit."""
+    """64-bit SimHash per document — one per-row fold, ZERO shuffles.
+
+    The r01 version exploded every word hash into 64 (doc_id, bit) rows
+    and shuffled them twice (64x row amplification on the hot path); at
+    corpus scale that dominates the job.  Here the 64 bit-votes are
+    accumulated inside a single aggregate() higher-order function per
+    row: ones[b] = count of word hashes with bit b set, and bit b of
+    the result is set iff 2*ones[b] > n_words (the +-1 vote sign).
+    Bit-identical output (same xxhash64 word hashes, same sign rule),
+    so the oracle sidecar is unchanged."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    words = docs.select(
-        "doc_id", F.explode(_words()).alias("word")
-    ).withColumn("h", F.xxhash64("word"))
-    bits = words.select(
+    base = docs.select(
         "doc_id",
-        F.explode(F.expr("sequence(0, 63)")).alias("bit"),
-        F.col("h"),
-    ).withColumn(
-        "vote",
-        F.when(F.expr("(shiftrightunsigned(h, bit) & 1L) = 1L"), 1).otherwise(-1),
+        F.size(_words()).alias("nw"),
+        F.expr(
+            "aggregate("
+            "  transform(split(trim(text), '\\\\s+'), w -> xxhash64(w)),"
+            "  array_repeat(0L, 64),"
+            "  (acc, h) -> zip_with(acc, sequence(0, 63),"
+            "                       (a, b) -> a + (shiftrightunsigned(h, b) & 1L)))"
+        ).alias("ones"),
     )
-    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+    return base.select(
+        "doc_id",
+        F.expr(
+            "aggregate("
+            "  zip_with(ones, sequence(0, 63),"
+            "           (o, b) -> if(2L * o > nw, shiftleft(1L, b), 0L)),"
+            "  0L, (acc, x) -> acc + x)"
+        ).alias("simhash"),
     )
 
 

@@ -168,3 +168,27 @@ def test_ivf_small_sample_clamps_k():
     mat = np.random.default_rng(3).standard_normal((IVF_K - 9, 8))
     cents = ivf_fit_centroids(mat)
     assert cents.shape == (IVF_K - 9, 8)
+
+
+def test_trigram_df_cap_keeps_pairs_linear(spark, tmp_path):
+    """Plant one hot shingle across 30% of docs: without the df cap the
+    self-join yields O(df^2) pairs; with it, only the planted
+    80%-truncation dups survive and the hot shingle adds nothing."""
+    from qfilter.corpus import trigram_jaccard_pairs
+
+    n = 100
+    rows = []
+    for i in range(n):
+        uniq = f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h"
+        hot = "one of the " if i < 30 else ""
+        rows.append((i, hot + uniq, "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    sf = str(tmp_path / "sf_hot")
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    out = trigram_jaccard_pairs(spark, sf, threshold=0.4, df_cap=8).collect()
+    # every pair must be a planted (i, i+1e6) truncation dup — the hot
+    # shingle (df=60 incl. truncated copies, > cap) creates no pair
+    assert out, "planted dups missing"
+    for r in out:
+        assert r.id2 - r.id1 == 1_000_000, (r.id1, r.id2)
