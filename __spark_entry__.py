@@ -337,6 +337,30 @@ def _qf_derived_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qf_model_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train -> .npz-shaped artifact -> broadcast -> batch predict
+    (reference entry point 3: tune_extended_classifier.py:171-191 LR
+    pipeline + infer_quality.py:16-91 predict).  The oracle recomputes
+    the identical weights from labels_ref and evaluates the identically
+    nested affine score in SQL (see make_oracle_sidecars.
+    model_weights_from_labels_ref)."""
+    from qfilter.cascade import with_labels
+    from qfilter.features import with_all_features
+    from qfilter.model import train_from_features, with_model_scores
+    from qfilter.tune import with_derived_features
+
+    feats = with_derived_features(
+        with_labels(with_all_features(_fixture_images(spark)))
+    ).filter(F.col("error").isNull())
+    w, b = train_from_features(feats)
+    scored = with_model_scores(feats, w, b)
+    return scored.select(
+        "image_id",
+        "pred_keep",
+        F.floor(F.col("score") * F.lit(1e9)).cast("long").alias("score_q9"),
+    )
+
+
 def _qf_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 threshold grid-search argmax (tune:103-123 shape)."""
     from qfilter.features import with_all_features
@@ -362,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_tuning_labels": _qf_tuning_labels,
         "qf_derived_features": _qf_derived_features,
         "qf_grid_search": _qf_grid_search,
+        "qf_model_infer": _qf_model_infer,
         "qf_line_features": _qf_line_features,
         "qf_enhance_stats": _qf_enhance_stats,
         # --- corpus text analytics over `documents` ---
@@ -407,6 +432,27 @@ def oracle_sql() -> dict[str, str]:
     images_pq = os.path.join(fdir, "images.parquet")
     nlp_sidecar = _nlp_sidecar("/root/testdata/sf0.01")
     xxh = _xxh_sidecars("/root/testdata/sf0.01")
+
+    # qf_model_infer: retrain the identical (BLAS-free, deterministic)
+    # logistic regression from labels_ref and embed the weights as
+    # round-trip-exact literals; the affine score is nested in the SAME
+    # left-to-right order as qfilter.model.with_model_scores, so the
+    # doubles are bit-identical.
+    from make_oracle_sidecars import model_weights_from_labels_ref
+
+    mw, mb = model_weights_from_labels_ref(fdir)
+    _terms = [  # MODEL_FEATURES, spelled from labels_ref's raw columns
+        "pct80", "median_ocr_conf", "conf_iqr",
+        "(mean_ocr_conf - median_ocr_conf)",
+        "(avg_blur / (words_count + 1.0))",
+        "(text_density * median_ocr_conf)",
+        "(pct80 * pct80)",
+        "(line_height_var / (line_height_med + 1.0))",
+        "(line_spacing_var / (line_spacing_med + 1.0))",
+    ]
+    zexpr = f"CAST('{mb!r}' AS DOUBLE)"
+    for _wi, _t in zip(mw, _terms):
+        zexpr = f"({zexpr} + CAST('{float(_wi)!r}' AS DOUBLE) * {_t})"
 
     dup_docs = (
         "SELECT doc_id, text, lang FROM documents "
@@ -617,6 +663,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_correct DESC, pct80_failed, conf_failed, bbox_failed,
                      conf_iqr_max
             LIMIT 1
+            """
+        ),
+        "qf_model_infer": (
+            f"""
+            SELECT image_id,
+                   {zexpr} > CAST(0 AS DOUBLE) AS pred_keep,
+                   CAST(floor({zexpr} * CAST('1e9' AS DOUBLE)) AS BIGINT)
+                     AS score_q9
+            FROM read_parquet('{labels_ref}') WHERE error IS NULL
             """
         ),
         "text_quality_stats": """

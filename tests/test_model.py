@@ -1,0 +1,85 @@
+"""Train -> artifact -> broadcast-infer path (qf_model_infer)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+
+def _spark_features(spark):
+    from make_fixtures import ensure_fixtures
+
+    from qfilter.cascade import with_labels
+    from qfilter.features import with_all_features
+    from qfilter.tune import with_derived_features
+
+    images = spark.read.parquet(
+        os.path.join(ensure_fixtures("smoke"), "images.parquet")
+    )
+    return with_derived_features(with_labels(with_all_features(images))).filter(
+        F.col("error").isNull()
+    )
+
+
+def test_spark_training_matches_labels_ref_training(spark):
+    """The Spark-side sample (orderBy+limit collect) and the single-node
+    labels_ref training must produce bit-identical weights — that is
+    the whole basis of the qf_model_infer oracle."""
+    from make_fixtures import ensure_fixtures
+    from make_oracle_sidecars import model_weights_from_labels_ref
+
+    from qfilter.model import train_from_features
+
+    w_s, b_s = train_from_features(_spark_features(spark))
+    w_o, b_o = model_weights_from_labels_ref(ensure_fixtures("smoke"))
+    assert np.array_equal(w_s, w_o) and b_s == b_o
+
+
+def test_model_artifact_roundtrip(tmp_path):
+    from qfilter.model import MODEL_FEATURES, fit_logreg, load_model, save_model
+
+    rng = np.random.default_rng(9)
+    X = rng.standard_normal((200, len(MODEL_FEATURES)))
+    y = (X[:, 0] + 0.5 * X[:, 3] > 0).astype(float)
+    w, b = fit_logreg(X, y)
+    path = str(tmp_path / "logreg.npz")
+    save_model(path, w, b)
+    w2, b2 = load_model(path)
+    assert np.array_equal(w, w2) and b == b2
+
+
+def test_fit_logreg_learns_separable():
+    """Sanity: GD actually learns a separable problem (accuracy >= 95%)."""
+    from qfilter.model import MODEL_FEATURES, fit_logreg
+
+    rng = np.random.default_rng(17)
+    X = rng.standard_normal((500, len(MODEL_FEATURES)))
+    y = (2.0 * X[:, 1] - X[:, 4] > 0).astype(float)
+    w, b = fit_logreg(X, y)
+    pred = (b + X @ w) > 0
+    assert (pred == y.astype(bool)).mean() >= 0.95
+
+
+def test_model_infer_predicts_cascade_keep(spark):
+    """The trained model must substantially agree with the cascade's
+    keep/drop on its own training table (the reference's in-sample
+    accuracy check, tune_extended_classifier.py:243-259)."""
+    import __spark_entry__ as E
+
+    out = E.queries()["qf_model_infer"](spark, "/root/testdata/sf0.01")
+    feats = _spark_features(spark).select("image_id", "keep")
+    j = out.join(feats, "image_id")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("pred_keep") == F.col("keep")).cast("int")).alias("ok"),
+        F.sum(F.col("pred_keep").cast("int")).alias("n_pred_keep"),
+    ).collect()[0]
+    assert agg.n > 0
+    assert 0 < agg.n_pred_keep < agg.n, "degenerate all-one-class prediction"
+    assert agg.ok / agg.n >= 0.85, f"in-sample accuracy {agg.ok / agg.n}"

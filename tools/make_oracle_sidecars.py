@@ -446,6 +446,33 @@ def build_ivf_ann(sf_dir: str, k: int = 5) -> str:
     return path
 
 
+def model_weights_from_labels_ref(fixture_dir: str) -> tuple:
+    """Train the qf_model_infer logistic regression single-node from the
+    committed labels_ref table — the oracle twin of
+    qfilter.model.train_from_features.  labels_ref's feature columns
+    are bit-identical to the Spark-computed ones (hash-proven via
+    qf_derived_features), the sort order matches orderBy(image_id),
+    and fit_logreg is BLAS-free — so the weights are bit-identical."""
+    from qfilter.model import MODEL_FEATURES, TRAIN_SAMPLE_MAX, fit_logreg
+
+    df = (
+        pq.read_table(os.path.join(fixture_dir, "labels_ref.parquet"))
+        .to_pandas()
+    )
+    df = df[df["error"].isnull()].sort_values("image_id").head(TRAIN_SAMPLE_MAX)
+    df = df.assign(
+        conf_range=df.mean_ocr_conf - df.median_ocr_conf,
+        blur_per_word=df.avg_blur / (df.words_count + 1.0),
+        density_per_conf=df.text_density * df.median_ocr_conf,
+        pct80_squared=df.pct80 * df.pct80,
+        line_height_cv=df.line_height_var / (df.line_height_med + 1.0),
+        line_spacing_cv=df.line_spacing_var / (df.line_spacing_med + 1.0),
+    )
+    X = df[MODEL_FEATURES].to_numpy(dtype=np.float64)
+    y = df["keep"].to_numpy(dtype=np.float64)
+    return fit_logreg(X, y)
+
+
 _SELF_DEP = "tools/make_oracle_sidecars.py"
 
 
