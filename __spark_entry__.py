@@ -50,6 +50,7 @@ def _xxh_sidecars(sf_dir: str) -> dict[str, str]:
     from make_oracle_sidecars import (
         ensure_sidecar_audio,
         ensure_sidecar_enhance,
+        ensure_sidecar_enhanced_bytes,
         ensure_sidecar_ivf_ann,
         ensure_sidecar_lines,
         ensure_sidecar_lsh_ann,
@@ -69,6 +70,7 @@ def _xxh_sidecars(sf_dir: str) -> dict[str, str]:
         "video": ensure_sidecar_video(),
         "lines": ensure_sidecar_lines(_fixture_dir()),
         "enhance": ensure_sidecar_enhance(_fixture_dir()),
+        "enhanced_bytes": ensure_sidecar_enhanced_bytes(_fixture_dir()),
     }
 
 
@@ -201,8 +203,23 @@ def _qf_enhance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cores = spark.sparkContext.defaultParallelism
     out = with_enhance_stats(_fixture_images(spark).repartition(cores * 2, "image_id"))
     return out.select(
-        "image_id", "deskew_deg", "lightened_mean", "delined_ink_frac"
+        "image_id", "deskew_deg", "lightened_mean", "lightened_bg_mean",
+        "lightened_adv_mean", "delined_ink_frac"
     )
+
+
+def _qf_enhanced_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 analog: transformed-bytes writeback — decode -> P11 lighten ->
+    re-encode in the SAME format (the reference scripts' save-back step,
+    document_lightener.py:247-254 / rotate_any_angle.py:151-158).  The
+    comparison surface is md5(bytes): hashed INSIDE the stage's
+    projection so pixel bytes never reach a shuffle; oracle = the
+    identical single-node transform (PSNR >= 40 dB for the lossy format
+    is asserted separately in tests/test_enhance.py)."""
+    from qfilter.enhance import with_enhanced_bytes
+
+    out = with_enhanced_bytes(_fixture_images(spark))
+    return out.select("image_id", "fmt", F.md5(F.col("enhanced")).alias("enhanced_md5"))
 
 
 def _stream_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_model_infer": _qf_model_infer,
         "qf_line_features": _qf_line_features,
         "qf_enhance_stats": _qf_enhance_stats,
+        "qf_enhanced_bytes": _qf_enhanced_bytes,
         # --- corpus text analytics over `documents` ---
         "text_quality_stats": corpus.text_quality_stats,
         "doc_gopher_filter": corpus.doc_gopher_filter,
@@ -947,6 +965,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "qf_enhance_stats": (
             f"SELECT image_id, deskew_deg, lightened_mean, "
+            f"lightened_bg_mean, lightened_adv_mean, "
             f"delined_ink_frac FROM read_parquet('{xxh['enhance']}')"
+        ),
+        "qf_enhanced_bytes": (
+            f"SELECT image_id, fmt, enhanced_md5 "
+            f"FROM read_parquet('{xxh['enhanced_bytes']}')"
         ),
     }

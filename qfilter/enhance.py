@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 
 from .imageops import (
+    _window_view,
     adaptive_threshold_inv,
     box_filter,
     connected_components,
@@ -42,11 +43,16 @@ __all__ = [
     "detect_lines",
     "remove_lines",
     "lighten_basic",
+    "lighten_background_only",
+    "lighten_stretch",
+    "percentile_stretch",
     "rotate_bound_white",
     "deskew_angle_search",
     "with_line_features",
     "with_enhance_stats",
+    "with_enhanced_bytes",
     "enhance_stats_one",
+    "enhanced_bytes_one",
 ]
 
 
@@ -168,6 +174,102 @@ def lighten_basic(px: np.ndarray, target_paper: int = 235) -> np.ndarray:
     gain = np.where(gray > 0, ratio / np.maximum(gray, 1.0), 1.0)
     out = np.clip(px.astype(np.float64) * gain[..., None], 0, 255)
     return np.round(out).astype(np.uint8)
+
+
+def _stretch_between(gray: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    if hi <= lo:
+        return gray.copy()
+    out = (gray.astype(np.float64) - lo) / (hi - lo)
+    return (np.clip(out, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
+def percentile_stretch(gray: np.ndarray, p_low: float, p_high: float) -> np.ndarray:
+    """Linear stretch between the p_low/p_high percentiles, identity
+    when degenerate (`document_lightener.py:67-74` _percentile_stretch,
+    incl. its truncating uint8 cast)."""
+    lo = float(np.percentile(gray, p_low))
+    hi = float(np.percentile(gray, p_high))
+    return _stretch_between(gray, lo, hi)
+
+
+def _gray_dilate(gray: np.ndarray, k: int) -> np.ndarray:
+    """Grayscale k x k max filter (separable, edge-replicate pad)."""
+    a = _window_view(gray, k, 1).max(axis=(2, 3))
+    return _window_view(a, 1, k).max(axis=(2, 3))
+
+
+def _gray_erode(gray: np.ndarray, k: int) -> np.ndarray:
+    a = _window_view(gray, k, 1).min(axis=(2, 3))
+    return _window_view(a, 1, k).min(axis=(2, 3))
+
+
+def _minmax_normalize(gray: np.ndarray) -> np.ndarray:
+    """cv2.normalize(..., 0, 255, NORM_MINMAX) analogue."""
+    g = gray.astype(np.float64)
+    lo, hi = float(g.min()), float(g.max())
+    if hi <= lo:
+        return gray.astype(np.uint8).copy()
+    return np.clip(np.round((g - lo) * (255.0 / (hi - lo))), 0, 255).astype(np.uint8)
+
+
+def lighten_background_only(px: np.ndarray) -> np.ndarray:
+    """P12a: background-only lightener
+    (`document_lightener.py:98-115` _lighten_background_only_bgr).
+
+    Transcribed semantics: L-channel background estimate (large blur)
+    -> divide-flatten (scale 255) -> percentile stretch (2.0, 99.8)
+    applied on the sub-Otsu mask -> min-max normalize -> gray output
+    replicated to 3 channels (the reference's keep_color defaults to
+    False here).  Deviations (documented, same policy as lighten_basic):
+    luma grayscale stands in for LAB L, box filter for medianBlur, and
+    the Gaussian/Canny/unsharp polish steps are omitted."""
+    lum = grayscale(px)
+    gray = lum.astype(np.float64)
+    k = max(15, (min(lum.shape) // 8) | 1)
+    bg = box_filter(lum, k).astype(np.float64)
+    flat = np.clip(np.round(255.0 * gray / np.maximum(bg, 1.0)), 0, 255).astype(np.uint8)
+    stretched = percentile_stretch(flat, 2.0, 99.8)
+    mask = lum <= otsu_threshold(lum)
+    out_l = np.where(mask, stretched, flat)
+    out_l = _minmax_normalize(out_l)
+    return np.repeat(out_l[..., None], 3, axis=2)
+
+
+def lighten_stretch(px: np.ndarray) -> np.ndarray:
+    """P12b: advanced lightener core
+    (`document_lightener.py:117-163` lighten_document_image_advanced).
+
+    Transcribed semantics: morphological paper estimate (large close =
+    dilate-then-erode; the reference's OPEN-on-L via OpenCV estimates
+    the dark envelope — we estimate paper, the stated intent) ->
+    divide-flatten with a floor of 10 -> adaptive-threshold text mask
+    -> percentile stretch (2.0, 99.0) on the non-text (paper) pixels
+    -> min-max normalize -> color preserved via per-pixel gain (the
+    reference's keep_color=True LAB merge).  NlMeans/CLAHE/Canny
+    refinements omitted (denoise polish outside the decision path)."""
+    lum = grayscale(px)
+    h, w = lum.shape
+    smin = min(h, w)
+    k = max(9, (int(smin * 0.08) * 2 + 1))
+    bg = _gray_erode(_gray_dilate(lum, k), k)
+    bg = box_filter(bg, max(9, (smin // 16) | 1)).astype(np.float64)
+    gray = lum.astype(np.float64)
+    flat = np.clip(
+        np.round(255.0 * gray / np.maximum(bg, 10.0)), 0, 255
+    ).astype(np.uint8)
+    blk = max(15, (int(smin * 0.035)) | 1)
+    text_mask = adaptive_threshold_inv(flat, blk, 10) != 0
+    # stretch floor clamped to the Otsu split: on low-ink pages the raw
+    # 2nd percentile lands INSIDE the paper cluster and would map edge
+    # paper to black (robustness guard over the reference's plain
+    # percentile, which assumes ink > 2% of pixels)
+    lo = min(float(np.percentile(flat, 2.0)), float(otsu_threshold(flat)))
+    stretched = _stretch_between(flat, lo, float(np.percentile(flat, 99.0)))
+    out_l = np.where(text_mask, flat, stretched)
+    out_l = _minmax_normalize(out_l).astype(np.float64)
+    gain = np.where(gray > 0, out_l / np.maximum(gray, 1.0), 1.0)
+    out = np.clip(np.round(px.astype(np.float64) * gain[..., None]), 0, 255)
+    return out.astype(np.uint8)
 
 
 def rotate_bound_white(px: np.ndarray, angle_deg: float) -> np.ndarray:
@@ -320,18 +422,28 @@ def enhance_stats_one(px: np.ndarray) -> dict:
     single-node oracle sidecar (tools/make_oracle_sidecars.py), so the
     driver's DuckDB comparison is bit-exact.
 
-    * deskew_deg        P15/W3 (`rotate_any_angle.py:43-119`)
-    * lightened_mean    mean gray after P11 lighten (`document_lightener.py:77-95`)
-    * delined_ink_frac  Otsu-ink fraction after P14 removal (`line_cleaner.py:53-84`)
+    * deskew_deg          P15/W3 (`rotate_any_angle.py:43-119`)
+    * lightened_mean      mean gray after P11 lighten (`document_lightener.py:77-95`)
+    * lightened_bg_mean   after P12a background-only (`document_lightener.py:98-115`)
+    * lightened_adv_mean  after P12b advanced stretch (`document_lightener.py:117-163`)
+    * delined_ink_frac    Otsu-ink fraction after P14 removal (`line_cleaner.py:53-84`)
     """
     gray = grayscale(px)
     deg = float(deskew_angle_search(gray))
     lit = grayscale(lighten_basic(px))
     lmean = float(lit.mean(dtype=np.float64))
+    bg_mean = float(grayscale(lighten_background_only(px)).mean(dtype=np.float64))
+    adv_mean = float(grayscale(lighten_stretch(px)).mean(dtype=np.float64))
     cleaned = grayscale(remove_lines(px))
     binv = _otsu_inv(cleaned)
     ink = float(np.count_nonzero(binv)) / float(binv.size)
-    return {"deskew_deg": deg, "lightened_mean": lmean, "delined_ink_frac": ink}
+    return {
+        "deskew_deg": deg,
+        "lightened_mean": lmean,
+        "lightened_bg_mean": bg_mean,
+        "lightened_adv_mean": adv_mean,
+        "delined_ink_frac": ink,
+    }
 
 
 def with_enhance_stats(df):
@@ -347,9 +459,12 @@ def with_enhance_stats(df):
         [
             T.StructField("deskew_deg", T.DoubleType()),
             T.StructField("lightened_mean", T.DoubleType()),
+            T.StructField("lightened_bg_mean", T.DoubleType()),
+            T.StructField("lightened_adv_mean", T.DoubleType()),
             T.StructField("delined_ink_frac", T.DoubleType()),
         ]
     )
+    _null_row = {f.name: None for f in schema.fields}
 
     @F.pandas_udf(schema)
     def enh(data: pd.Series, fmt: pd.Series, w: pd.Series, h: pd.Series) -> pd.DataFrame:
@@ -359,11 +474,46 @@ def with_enhance_stats(df):
                 px = codecs.decode(b, f, int(ww), int(hh))
                 rows.append(enhance_stats_one(px))
             except Exception:  # noqa: BLE001
-                rows.append(
-                    {"deskew_deg": None, "lightened_mean": None,
-                     "delined_ink_frac": None}
-                )
+                rows.append(dict(_null_row))
         return pd.DataFrame(rows)
 
     out = df.withColumn("_es", enh(F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h")))
     return out.select(*df.columns, "_es.*")
+
+
+# ------------------------------------------------- K5 analog: writeback
+
+def enhanced_bytes_one(data: bytes, fmt: str, w: int, h: int) -> bytes:
+    """Decode -> P11 lighten -> re-encode in the SAME format.  The
+    transformed-bytes writeback contract of the reference's enhancement
+    scripts (`document_lightener.py:247-254`, `rotate_any_angle.py:
+    151-158` save the transformed pixels back to image files) —
+    shared verbatim by the Spark stage and the single-node oracle."""
+    from . import codecs
+
+    px = codecs.decode(data, fmt, w, h)
+    return codecs.encode(lighten_basic(px), fmt)
+
+
+def with_enhanced_bytes(df):
+    """(image_id, bytes, fmt, w, h, ...) -> + ``enhanced`` (re-encoded
+    transformed bytes, same format).  Decode/encode errors -> NULL (the
+    error-channel contract); bytes stay inside one Arrow stage — the
+    downstream query hashes them (md5) before any shuffle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.BinaryType())
+    def enh(data: pd.Series, fmt: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        out = []
+        for b, f, ww, hh in zip(data, fmt, w, h):
+            try:
+                out.append(enhanced_bytes_one(b, f, int(ww), int(hh)))
+            except Exception:  # noqa: BLE001
+                out.append(None)
+        return pd.Series(out)
+
+    out = df.withColumn(
+        "enhanced", enh(F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h"))
+    )
+    return out.select(*df.columns, "enhanced")

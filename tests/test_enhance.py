@@ -99,3 +99,85 @@ def test_line_feature_stage(spark, smoke_dir):
     rows = out.collect()
     assert len(rows) == 60
     assert all(r.line_score >= 0.0 for r in rows)
+
+
+def _synth_doc(seed: int = 3) -> np.ndarray:
+    """Dim, unevenly lit page with dark 'text' strokes."""
+    rng = np.random.default_rng(seed)
+    h, w = 96, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    paper = 150.0 + 30.0 * (xx / w)  # lighting gradient, dim paper
+    px = np.repeat(paper[..., None], 3, axis=2)
+    for r in range(12, h - 8, 14):
+        cols = rng.integers(8, w - 8, size=20)
+        px[r : r + 2, cols] = 30.0
+    return np.clip(np.round(px), 0, 255).astype(np.uint8)
+
+
+def test_lighten_background_only_brightens_paper():
+    from qfilter.enhance import lighten_background_only
+    from qfilter.imageops import otsu_threshold
+
+    px = _synth_doc()
+    out = lighten_background_only(px)
+    assert out.shape == px.shape and out.dtype == np.uint8
+    g_in, g_out = grayscale(px), grayscale(out)
+    paper = g_in > otsu_threshold(g_in)
+    # paper gets pushed toward white, ink stays well below it
+    assert g_out[paper].mean() > g_in[paper].mean() + 40
+    assert g_out[~paper].mean() < g_out[paper].mean() - 60
+    # deterministic
+    assert np.array_equal(out, lighten_background_only(px))
+
+
+def test_lighten_stretch_flattens_illumination():
+    from qfilter.enhance import lighten_stretch
+    from qfilter.imageops import otsu_threshold
+
+    px = _synth_doc()
+    out = lighten_stretch(px)
+    assert out.shape == px.shape and out.dtype == np.uint8
+    g_in, g_out = grayscale(px), grayscale(out)
+    paper = g_in > otsu_threshold(g_in)
+    # the left/right paper brightness gap shrinks (gradient flattened)
+    left_in = g_in[paper & (np.arange(128)[None, :] < 40)].mean()
+    right_in = g_in[paper & (np.arange(128)[None, :] >= 88)].mean()
+    left_out = g_out[paper & (np.arange(128)[None, :] < 40)].mean()
+    right_out = g_out[paper & (np.arange(128)[None, :] >= 88)].mean()
+    assert abs(left_out - right_out) < abs(left_in - right_in) * 0.6
+    assert np.array_equal(out, lighten_stretch(px))
+
+
+def test_enhanced_bytes_writeback_psnr(smoke_dir):
+    """K5-analog gate: re-encoded lightened bytes decode back to the
+    transform output exactly for lossless formats and at PSNR >= 40 dB
+    for the lossy one (BASELINE.json decoded-pixel invariant)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from qfilter import codecs
+    from qfilter.enhance import enhanced_bytes_one, lighten_basic
+
+    tbl = pq.read_table(
+        os.path.join(smoke_dir, "images.parquet"),
+        columns=["image_id", "bytes", "fmt", "w", "h"],
+    ).to_pylist()
+    seen: dict[str, int] = {}
+    for r in tbl:
+        if seen.get(r["fmt"], 0) >= 5:
+            continue
+        try:
+            px = codecs.decode(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
+        except Exception:  # planted error rows
+            continue
+        seen[r["fmt"]] = seen.get(r["fmt"], 0) + 1
+        want = lighten_basic(px)
+        enc = enhanced_bytes_one(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
+        got = codecs.decode(enc, r["fmt"], want.shape[1], want.shape[0])
+        if r["fmt"] == "qjpg":
+            p = codecs.psnr(want, got)
+            assert p >= 40.0, (r["image_id"], p)
+        else:
+            assert np.array_equal(want, got), r["image_id"]
+    assert set(seen) == {"bmp", "png", "raw", "qjpg"}, seen

@@ -363,27 +363,61 @@ def build_enhance(fixture_dir: str) -> str:
         os.path.join(fixture_dir, "images.parquet"),
         columns=["image_id", "bytes", "fmt", "w", "h"],
     ).to_pylist()
-    rows = {"image_id": [], "deskew_deg": [], "lightened_mean": [],
-            "delined_ink_frac": []}
+    cols = ["deskew_deg", "lightened_mean", "lightened_bg_mean",
+            "lightened_adv_mean", "delined_ink_frac"]
+    rows = {"image_id": [], **{c: [] for c in cols}}
     for r in tbl:
         try:
             px = codecs.decode(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
             s = enhance_stats_one(px)
         except Exception:  # noqa: BLE001
-            s = {"deskew_deg": None, "lightened_mean": None,
-                 "delined_ink_frac": None}
+            s = {c: None for c in cols}
         rows["image_id"].append(r["image_id"])
-        rows["deskew_deg"].append(s["deskew_deg"])
-        rows["lightened_mean"].append(s["lightened_mean"])
-        rows["delined_ink_frac"].append(s["delined_ink_frac"])
+        for c in cols:
+            rows[c].append(s[c])
     os.makedirs(OUT_DIR, exist_ok=True)
     tier = os.path.basename(os.path.normpath(fixture_dir))
     path = os.path.join(OUT_DIR, f"enhance_{tier}.parquet")
     pq.write_table(
         pa.table(rows, schema=pa.schema([
-            ("image_id", pa.string()), ("deskew_deg", pa.float64()),
-            ("lightened_mean", pa.float64()),
-            ("delined_ink_frac", pa.float64()),
+            ("image_id", pa.string()),
+            *[(c, pa.float64()) for c in cols],
+        ])),
+        path,
+    )
+    return path
+
+
+def build_enhanced_bytes(fixture_dir: str) -> str:
+    """Single-node oracle for `qf_enhanced_bytes` (the K5-analog
+    transformed-bytes writeback): decode -> lighten -> re-encode via
+    qfilter.enhance.enhanced_bytes_one, store the md5 of the re-encoded
+    stream (the Spark query hashes with F.md5 — hex lowercase both)."""
+    import hashlib
+
+    from qfilter.enhance import enhanced_bytes_one
+
+    tbl = pq.read_table(
+        os.path.join(fixture_dir, "images.parquet"),
+        columns=["image_id", "bytes", "fmt", "w", "h"],
+    ).to_pylist()
+    rows = {"image_id": [], "fmt": [], "enhanced_md5": []}
+    for r in tbl:
+        try:
+            enc = enhanced_bytes_one(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
+            md5 = hashlib.md5(enc).hexdigest()
+        except Exception:  # noqa: BLE001
+            md5 = None
+        rows["image_id"].append(r["image_id"])
+        rows["fmt"].append(r["fmt"])
+        rows["enhanced_md5"].append(md5)
+    os.makedirs(OUT_DIR, exist_ok=True)
+    tier = os.path.basename(os.path.normpath(fixture_dir))
+    path = os.path.join(OUT_DIR, f"enhanced_bytes_{tier}.parquet")
+    pq.write_table(
+        pa.table(rows, schema=pa.schema([
+            ("image_id", pa.string()), ("fmt", pa.string()),
+            ("enhanced_md5", pa.string()),
         ])),
         path,
     )
@@ -526,6 +560,12 @@ def ensure_sidecar_enhance(fixture_dir: str) -> str:
     tier = os.path.basename(os.path.normpath(fixture_dir))
     return _ensure(os.path.join(OUT_DIR, f"enhance_{tier}.parquet"),
                    build_enhance, fixture_dir, deps=_IMG_DEPS)
+
+
+def ensure_sidecar_enhanced_bytes(fixture_dir: str) -> str:
+    tier = os.path.basename(os.path.normpath(fixture_dir))
+    return _ensure(os.path.join(OUT_DIR, f"enhanced_bytes_{tier}.parquet"),
+                   build_enhanced_bytes, fixture_dir, deps=_IMG_DEPS)
 
 
 def ensure_sidecar_simhash(sf_dir: str) -> str:
