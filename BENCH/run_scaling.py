@@ -133,8 +133,18 @@ a real N-executor cluster has N cores of compute and bandwidth total),
 * config: spark.sql.shuffle.partitions = 2x cores,
   spark.sql.execution.arrow.maxRecordsPerBatch = 64, AQE on, zstd parquet.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # preserve manually-maintained appendix sections (e.g. data-volume
+    # scaling) across re-runs
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    appendix = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        idx = old.find("\n## ")
+        if idx >= 0:
+            appendix = old[idx:]
+    with open(path, "w") as f:
+        f.write(md + appendix)
 
 
 if __name__ == "__main__":

@@ -55,6 +55,7 @@ def _xxh_sidecars(sf_dir: str) -> dict[str, str]:
         ensure_sidecar_lines,
         ensure_sidecar_lsh_ann,
         ensure_sidecar_minhash_pairs,
+        ensure_sidecar_orientation,
         ensure_sidecar_simhash,
         ensure_sidecar_thumbs,
         ensure_sidecar_video,
@@ -71,6 +72,7 @@ def _xxh_sidecars(sf_dir: str) -> dict[str, str]:
         "lines": ensure_sidecar_lines(_fixture_dir()),
         "enhance": ensure_sidecar_enhance(_fixture_dir()),
         "enhanced_bytes": ensure_sidecar_enhanced_bytes(_fixture_dir()),
+        "orientation": ensure_sidecar_orientation(_fixture_dir()),
     }
 
 
@@ -205,6 +207,23 @@ def _qf_enhance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "image_id", "deskew_deg", "lightened_mean", "lightened_bg_mean",
         "lightened_adv_mean", "delined_ink_frac"
+    )
+
+
+def _qf_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17/P18 orientation heuristic (reference rotate_right.py:73-163
+    uses a PaddleOCR model, offline-unavailable): plant a deterministic
+    quarter-turn per image, detect it with the projection-energy +
+    line-asymmetry vote, report recovery.  Oracle = the identical
+    single-node run."""
+    from qfilter.enhance import with_orientation
+
+    out = with_orientation(_fixture_images(spark))
+    # decode-error rows carry NULL results — excluded from the compare
+    # surface on both sides (NULL booleans stringify differently across
+    # engines; the error channel itself is covered by qf_labels)
+    return out.filter(F.col("recovered").isNotNull()).select(
+        "image_id", "planted_deg", "detected_deg", "recovered"
     )
 
 
@@ -407,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_line_features": _qf_line_features,
         "qf_enhance_stats": _qf_enhance_stats,
         "qf_enhanced_bytes": _qf_enhanced_bytes,
+        "qf_orientation": _qf_orientation,
         # --- corpus text analytics over `documents` ---
         "text_quality_stats": corpus.text_quality_stats,
         "doc_gopher_filter": corpus.doc_gopher_filter,
@@ -971,5 +991,10 @@ def oracle_sql() -> dict[str, str]:
         "qf_enhanced_bytes": (
             f"SELECT image_id, fmt, enhanced_md5 "
             f"FROM read_parquet('{xxh['enhanced_bytes']}')"
+        ),
+        "qf_orientation": (
+            f"SELECT image_id, planted_deg, detected_deg, recovered "
+            f"FROM read_parquet('{xxh['orientation']}') "
+            f"WHERE recovered IS NOT NULL"
         ),
     }

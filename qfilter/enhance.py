@@ -48,6 +48,9 @@ __all__ = [
     "percentile_stretch",
     "rotate_bound_white",
     "deskew_angle_search",
+    "orientation_vote",
+    "orientation_one",
+    "with_orientation",
     "with_line_features",
     "with_enhance_stats",
     "with_enhanced_bytes",
@@ -479,6 +482,128 @@ def with_enhance_stats(df):
 
     out = df.withColumn("_es", enh(F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h")))
     return out.select(*df.columns, "_es.*")
+
+
+# ------------------------------------- P17/P18: orientation heuristic
+
+def _flip_asymmetry(binv: np.ndarray) -> float:
+    """Per-text-line ink asymmetry: sum over detected line bands of
+    (bottom-half ink - top-half ink).  Upright body text is
+    bottom-heavy inside its line box (the dense x-height region sits on
+    the baseline; ascenders above it are sparse), so upright pages
+    score >= 0 and 180-rotated pages score < 0."""
+    ink = binv > 0
+    rows = ink.sum(axis=1).astype(np.float64)
+    mx = rows.max()
+    if mx <= 0:
+        return 0.0
+    on = rows > 0.1 * mx
+    s = 0.0
+    i, n = 0, len(on)
+    while i < n:
+        if not on[i]:
+            i += 1
+            continue
+        j = i
+        while j < n and on[j]:
+            j += 1
+        seg = rows[i:j]
+        m = len(seg)
+        if m >= 4:  # ignore 1-3 px specks
+            top = float(seg[: m // 2].sum())
+            bot = float(seg[(m + 1) // 2 :].sum())
+            s += bot - top
+        i = j
+    return s
+
+
+def orientation_vote(gray: np.ndarray) -> dict:
+    """P17/P18 heuristic stand-in.  The reference decides page
+    orientation with a PaddleOCR classification model
+    (`rotate_right.py:73-163`) — unavailable offline by design (SURVEY
+    §7.6); this keeps the operator CONTRACT (choose k in {0, 90, 180,
+    270} and the rotation that uprights the page) with a model-free
+    vote:
+
+    * 0/90 axis: row-projection gradient energy of the ink mask — text
+      lines maximize it when horizontal (same score as the P15 deskew
+      search, `rotate_any_angle.py:56-61`);
+    * 0 vs 180 flip: per-line ink asymmetry (`_flip_asymmetry`).
+
+    Returns ``rot_ccw_deg`` — degrees to rotate counterclockwise
+    (np.rot90 steps, exact, no resampling) to upright the page — plus
+    the diagnostic scores."""
+    binv0 = adaptive_threshold_inv(gray, 31, 11)
+    h_score = _projection_score(binv0)
+    g90 = np.rot90(gray, 1)
+    binv90 = adaptive_threshold_inv(g90, 31, 11)
+    v_score = _projection_score(binv90)
+    k_axis = 0 if h_score >= v_score else 1
+    binv_up = binv0 if k_axis == 0 else binv90
+    asym = _flip_asymmetry(binv_up)
+    k = k_axis if asym >= 0.0 else k_axis + 2
+    return {
+        "rot_ccw_deg": 90 * k,
+        "h_score": float(h_score),
+        "v_score": float(v_score),
+        "flip_asym": float(asym),
+    }
+
+
+def orientation_one(px: np.ndarray, image_id: str) -> dict:
+    """Plant a deterministic rotation (crc32(image_id) % 4 quarter
+    turns), detect it, report recovery — shared verbatim by the Spark
+    stage and the single-node oracle sidecar."""
+    import zlib
+
+    planted = zlib.crc32(image_id.encode("utf-8")) % 4
+    rotated = np.rot90(px, planted, axes=(0, 1))
+    v = orientation_vote(grayscale(rotated))
+    detected = v["rot_ccw_deg"] // 90
+    return {
+        "planted_deg": 90 * planted,
+        "detected_deg": 90 * detected,
+        "recovered": (planted + detected) % 4 == 0,
+    }
+
+
+def with_orientation(df):
+    """(image_id, bytes, fmt, w, h, ...) -> + planted_deg, detected_deg,
+    recovered (P17/P18 as a batched Arrow stage; errors -> NULLs)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from . import codecs
+
+    schema = T.StructType(
+        [
+            T.StructField("planted_deg", T.IntegerType()),
+            T.StructField("detected_deg", T.IntegerType()),
+            T.StructField("recovered", T.BooleanType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def det(
+        image_id: pd.Series, data: pd.Series, fmt: pd.Series,
+        w: pd.Series, h: pd.Series,
+    ) -> pd.DataFrame:
+        rows = []
+        for iid, b, f, ww, hh in zip(image_id, data, fmt, w, h):
+            try:
+                px = codecs.decode(b, f, int(ww), int(hh))
+                rows.append(orientation_one(px, str(iid)))
+            except Exception:  # noqa: BLE001
+                rows.append(
+                    {"planted_deg": None, "detected_deg": None, "recovered": None}
+                )
+        return pd.DataFrame(rows)
+
+    out = df.withColumn(
+        "_or",
+        det(F.col("image_id"), F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h")),
+    )
+    return out.select(*df.columns, "_or.*")
 
 
 # ------------------------------------------------- K5 analog: writeback

@@ -181,3 +181,52 @@ def test_enhanced_bytes_writeback_psnr(smoke_dir):
         else:
             assert np.array_equal(want, got), r["image_id"]
     assert set(seen) == {"bmp", "png", "raw", "qjpg"}, seen
+
+
+def _text_page(w=128, h=96) -> np.ndarray:
+    """Upright synthetic text page: dense x-height body sitting on each
+    baseline, sparse ascenders above it (the asymmetry orientation_vote
+    keys on)."""
+    rng = np.random.default_rng(11)
+    px = np.full((h, w, 3), 245, dtype=np.uint8)
+    for top in range(10, h - 12, 14):
+        # ascender row band (sparse strokes)
+        asc_cols = rng.integers(10, w - 10, size=10)
+        px[top : top + 3, asc_cols] = 40
+        # body band (dense)
+        px[top + 3 : top + 9, 10 : w - 10] = np.where(
+            rng.random((6, w - 20, 1)) < 0.75, 40, 245
+        )
+    return px
+
+
+@pytest.mark.parametrize("k", [0, 1, 2, 3])
+def test_orientation_vote_recovers_quarter_turns(k):
+    from qfilter.enhance import orientation_vote
+
+    page = _text_page()
+    rotated = np.rot90(page, k, axes=(0, 1))
+    v = orientation_vote(grayscale(rotated))
+    detected = v["rot_ccw_deg"] // 90
+    assert (k + detected) % 4 == 0, (k, v)
+
+
+def test_orientation_stage_matches_single_node(spark, smoke_dir):
+    import os
+
+    from qfilter import codecs
+    from qfilter.enhance import orientation_one, with_orientation
+
+    img = spark.read.parquet(os.path.join(smoke_dir, "images.parquet")).limit(40)
+    got = {r.image_id: r for r in with_orientation(img).collect()}
+    rows = img.select("image_id", "bytes", "fmt", "w", "h").collect()
+    for r in rows:
+        try:
+            px = codecs.decode(bytes(r.bytes), r.fmt, r.w, r.h)
+            want = orientation_one(px, r.image_id)
+        except Exception:
+            want = {"planted_deg": None, "detected_deg": None, "recovered": None}
+        g = got[r.image_id]
+        assert (g.planted_deg, g.detected_deg, g.recovered) == (
+            want["planted_deg"], want["detected_deg"], want["recovered"]
+        ), r.image_id

@@ -562,6 +562,47 @@ def ensure_sidecar_enhance(fixture_dir: str) -> str:
                    build_enhance, fixture_dir, deps=_IMG_DEPS)
 
 
+def build_orientation(fixture_dir: str) -> str:
+    """Single-node oracle for `qf_orientation` (P17/P18 heuristic):
+    qfilter.enhance.orientation_one run without Spark over the same
+    fixture bytes and planted rotations."""
+    from qfilter import codecs
+    from qfilter.enhance import orientation_one
+
+    tbl = pq.read_table(
+        os.path.join(fixture_dir, "images.parquet"),
+        columns=["image_id", "bytes", "fmt", "w", "h"],
+    ).to_pylist()
+    rows = {"image_id": [], "planted_deg": [], "detected_deg": [], "recovered": []}
+    for r in tbl:
+        try:
+            px = codecs.decode(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
+            s = orientation_one(px, str(r["image_id"]))
+        except Exception:  # noqa: BLE001
+            s = {"planted_deg": None, "detected_deg": None, "recovered": None}
+        rows["image_id"].append(r["image_id"])
+        rows["planted_deg"].append(s["planted_deg"])
+        rows["detected_deg"].append(s["detected_deg"])
+        rows["recovered"].append(s["recovered"])
+    os.makedirs(OUT_DIR, exist_ok=True)
+    tier = os.path.basename(os.path.normpath(fixture_dir))
+    path = os.path.join(OUT_DIR, f"orientation_{tier}.parquet")
+    pq.write_table(
+        pa.table(rows, schema=pa.schema([
+            ("image_id", pa.string()), ("planted_deg", pa.int32()),
+            ("detected_deg", pa.int32()), ("recovered", pa.bool_()),
+        ])),
+        path,
+    )
+    return path
+
+
+def ensure_sidecar_orientation(fixture_dir: str) -> str:
+    tier = os.path.basename(os.path.normpath(fixture_dir))
+    return _ensure(os.path.join(OUT_DIR, f"orientation_{tier}.parquet"),
+                   build_orientation, fixture_dir, deps=_IMG_DEPS)
+
+
 def ensure_sidecar_enhanced_bytes(fixture_dir: str) -> str:
     tier = os.path.basename(os.path.normpath(fixture_dir))
     return _ensure(os.path.join(OUT_DIR, f"enhanced_bytes_{tier}.parquet"),
