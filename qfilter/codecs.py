@@ -196,9 +196,17 @@ def _decode_png(data: bytes) -> np.ndarray:
         out = raw[:, 1:].copy()
         up_rows = np.flatnonzero(raw[:, 0] == 2)
         if up_rows.size:
-            # cumulative "Up" within each contiguous run — sequential over rows
-            for y in up_rows:
-                out[y] += out[y - 1]
+            # cumulative "Up" per contiguous run: one uint8 accumulate
+            # (mod-256 == PNG's byte arithmetic) instead of a per-row
+            # Python loop.  A run starting at row 0 accumulates from
+            # zero (PNG spec: missing prior scanline is all-zero).
+            breaks = np.flatnonzero(np.diff(up_rows) != 1) + 1
+            for run in np.split(up_rows, breaks):
+                s, e = int(run[0]), int(run[-1])
+                lo = max(s - 1, 0)
+                np.add.accumulate(
+                    out[lo : e + 1], axis=0, dtype=np.uint8, out=out[lo : e + 1]
+                )
         return out.reshape(h, w, 3)
     return _png_unfilter(raw, h, w)
 

@@ -42,7 +42,7 @@ import numpy as np
 
 from .textops import TextBundle, tokenize_words
 
-__all__ = ["token_confidences", "ocr_features", "OCR_FEATURE_NAMES"]
+__all__ = ["token_confidences", "block_geometry", "ocr_features", "OCR_FEATURE_NAMES"]
 
 # conf = 100 * sigmoid(W_WORD*word_lp + W_CHAR*char_lp + CONF_BIAS):
 # word_lp = interpolated 3-gram word-LM logprob, char_lp = best-language
@@ -88,24 +88,15 @@ def token_confidences(bundle: TextBundle, caption: str) -> np.ndarray:
     return 100.0 / (1.0 + np.exp(-z))
 
 
-def ocr_features(bundle: TextBundle, caption: str, blocks, page_w: int, page_h: int) -> dict:
-    """OCR-analogue features for one row.
+def block_geometry(blocks, page_w: int, page_h: int) -> tuple:
+    """Bbox/line geometry stats for one row's ``blocks`` sidecar.
 
-    ``blocks``: iterable of (top, left, width, height) tuples/sequences
-    (the fixture sidecar), or None/empty.
+    Returns (n_blocks, bbox_area_text_frac, line_height_med,
+    line_height_var, line_spacing_med, line_spacing_var,
+    avg_block_width, avg_block_height).  Shared by the per-row oracle
+    path (`ocr_features`) and the batched Spark UDF path
+    (`qfilter.batch_text`) so geometry semantics cannot diverge.
     """
-    caption = caption or ""
-    confs = token_confidences(bundle, caption)
-    words = tokenize_words(caption)
-    n = confs.size
-    if n:
-        med = float(np.median(confs))
-        mean = float(confs.mean())
-        pct80 = float(np.count_nonzero(confs >= 80.0)) / n
-        iqr = float(np.percentile(confs, 75) - np.percentile(confs, 25))
-    else:
-        med = mean = pct80 = iqr = 0.0
-
     blocks = list(blocks) if blocks is not None else []
     nb = len(blocks)
     if nb:
@@ -128,6 +119,30 @@ def ocr_features(bundle: TextBundle, caption: str, blocks, page_w: int, page_h: 
         avg_h = float(heights.mean())
     else:
         bbox_frac = lh_med = lh_var = ls_med = ls_var = avg_w = avg_h = 0.0
+    return nb, bbox_frac, lh_med, lh_var, ls_med, ls_var, avg_w, avg_h
+
+
+def ocr_features(bundle: TextBundle, caption: str, blocks, page_w: int, page_h: int) -> dict:
+    """OCR-analogue features for one row.
+
+    ``blocks``: iterable of (top, left, width, height) tuples/sequences
+    (the fixture sidecar), or None/empty.
+    """
+    caption = caption or ""
+    confs = token_confidences(bundle, caption)
+    words = tokenize_words(caption)
+    n = confs.size
+    if n:
+        med = float(np.median(confs))
+        mean = float(confs.mean())
+        pct80 = float(np.count_nonzero(confs >= 80.0)) / n
+        iqr = float(np.percentile(confs, 75) - np.percentile(confs, 25))
+    else:
+        med = mean = pct80 = iqr = 0.0
+
+    nb, bbox_frac, lh_med, lh_var, ls_med, ls_var, avg_w, avg_h = block_geometry(
+        blocks, page_w, page_h
+    )
 
     return {
         "median_ocr_conf": med,

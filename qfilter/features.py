@@ -36,9 +36,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import codecs, imageops
-from .engine import ocr_features
+from .batch_text import caption_features_frame
 from .phash import average_hash
-from .textops import default_bundle, text_heuristics
+from .textops import default_bundle
 
 __all__ = [
     "IMAGE_FEATURES_SCHEMA",
@@ -84,8 +84,9 @@ def _image_features_udf(
     for b, f, ww, hh in zip(data, fmt, w, h):
         try:
             px = codecs.decode(b, f, int(ww), int(hh))
-            feats = imageops.image_features(px)
-            feats["phash64"] = average_hash(px)
+            gray = imageops.grayscale(px)  # shared by features + phash
+            feats = imageops.image_features(px, _gray=gray)
+            feats["phash64"] = average_hash(px, _gray=gray)
             feats["error"] = None
         except Exception as exc:  # noqa: BLE001 — reference error channel
             feats = dict(_ZERO_IMAGE_FEATURES)
@@ -149,21 +150,18 @@ def _blocks_to_tuples(blocks) -> list | None:
 def _caption_features_udf(
     caption: pd.Series, blocks: pd.Series, w: pd.Series, h: pd.Series
 ) -> pd.DataFrame:
-    bundle = default_bundle()
-    rows = []
-    for cap, blk, ww, hh in zip(caption, blocks, w, h):
-        cap = cap or ""
-        feats = ocr_features(bundle, cap, _blocks_to_tuples(blk), int(ww), int(hh))
-        lang, lang_conf = bundle.langid.predict(cap)
-        ppl = bundle.lm.perplexity(cap)
-        heur = text_heuristics(cap)
-        feats["lang"] = lang
-        feats["lang_conf"] = float(lang_conf)
-        feats["perplexity"] = float(ppl) if np.isfinite(ppl) else None
-        for k in _HEUR_KEEP:
-            feats[k] = heur[k]
-        rows.append(feats)
-    return pd.DataFrame(rows)
+    # batch-vectorized path (single tokenization, searchsorted LM
+    # lookups, per-unique-word caching) — bit-identical to the per-row
+    # oracle path (`engine.ocr_features`), proven by
+    # tests/test_batch_text.py and every driver parity run
+    return caption_features_frame(
+        default_bundle(),
+        list(caption),
+        [_blocks_to_tuples(b) for b in blocks],
+        w.to_numpy(),
+        h.to_numpy(),
+        _HEUR_KEEP,
+    )
 
 
 SCRUB_SCHEMA = T.StructType(

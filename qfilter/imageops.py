@@ -83,9 +83,13 @@ def laplacian_variance(gray: np.ndarray) -> float:
     Reference: `_blur_score` classificator_extended_paddleocr.py:117-119.
     Border: replicate (cv2 BORDER_REFLECT_101 differs at edges only).
     """
-    g = gray.astype(np.float64)
+    # int16 arithmetic: every Laplacian value is an exact integer in
+    # [-1020, 1020], and np.var converts to float64 before any rounding
+    # op, so the result is bit-identical to the float64 pipeline at
+    # ~2x the elementwise speed
+    g = gray.astype(np.int16)
     p = _pad_edge(g, 1, 1, 1, 1)
-    lap = p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4.0 * g
+    lap = p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4 * g
     return float(lap.var())
 
 
@@ -116,19 +120,58 @@ def _integral_means(gray: np.ndarray, block: int) -> np.ndarray:
     return s[:h, :w] / float(block * block)
 
 
+def _box_means_shared(gray: np.ndarray, blocks: tuple[int, ...]) -> dict[int, np.ndarray]:
+    """Local box means for several odd block sizes from ONE integral.
+
+    Edge-replicated pads nest — ``pad_r(g)[d:-d] == pad_(r-d)(g)`` —
+    so one cumsum pair at the largest radius serves every block size
+    via index offsets.  Integer window sums are exact, so each result
+    is bit-identical to ``_integral_means(gray, b)`` (tested).
+    """
+    rmax = max(b // 2 for b in blocks)
+    p = _pad_edge(gray, rmax, rmax, rmax, rmax)
+    if gray.dtype != np.uint8:
+        acc = np.float64
+    else:
+        acc = np.int32 if p.size * 255 < 2**31 else np.int64
+    ii = np.zeros((p.shape[0] + 1, p.shape[1] + 1), dtype=acc)
+    np.cumsum(np.cumsum(p, axis=0, dtype=acc), axis=1, out=ii[1:, 1:])
+    h, w = gray.shape
+    out = {}
+    for b in blocks:
+        d = rmax - b // 2
+        s = (
+            ii[d + b : d + b + h, d + b : d + b + w]
+            - ii[d : d + h, d + b : d + b + w]
+            - ii[d + b : d + b + h, d : d + w]
+            + ii[d : d + h, d : d + w]
+        )
+        out[b] = s / float(b * b)
+    return out
+
+
 def box_filter(gray: np.ndarray, k: int) -> np.ndarray:
     return np.clip(np.round(_integral_means(gray, k)), 0, 255).astype(np.uint8)
 
 
 def binomial5_blur(gray: np.ndarray) -> np.ndarray:
-    """Separable [1,4,6,4,1]/16 blur ~= cv2.GaussianBlur(5,5,0)."""
-    k = np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
-    g = gray.astype(np.float64)
+    """Separable [1,4,6,4,1]/16 blur ~= cv2.GaussianBlur(5,5,0).
+
+    Integer convolution: every intermediate of the float form is an
+    exact dyadic rational (uint8 * k/16 products and their sums), so
+    ``int_conv / 256`` is bit-identical to the float64 separable
+    pipeline — at int32 speed and half the memory traffic.
+    """
+    h, w = gray.shape
+    g = gray.astype(np.int32)
     p = _pad_edge(g, 2, 2, 0, 0)
-    v = sum(p[i : i + g.shape[0]] * k[i] for i in range(5))
+    v = p[:h] + 4 * p[1 : h + 1] + 6 * p[2 : h + 2] + 4 * p[3 : h + 3] + p[4 : h + 4]
     p = _pad_edge(v, 0, 0, 2, 2)
-    out = sum(p[:, i : i + g.shape[1]] * k[i] for i in range(5))
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    o = (
+        p[:, :w] + 4 * p[:, 1 : w + 1] + 6 * p[:, 2 : w + 2]
+        + 4 * p[:, 3 : w + 3] + p[:, 4 : w + 4]
+    )
+    return np.clip(np.round(o / 256.0), 0, 255).astype(np.uint8)
 
 
 def _window_view(gray: np.ndarray, kh: int, kw: int) -> np.ndarray:
@@ -180,12 +223,16 @@ def otsu_threshold(gray: np.ndarray) -> int:
     return int(np.argmax(sigma_b))
 
 
-def adaptive_threshold_inv(gray: np.ndarray, block: int, c: float) -> np.ndarray:
+def adaptive_threshold_inv(
+    gray: np.ndarray, block: int, c: float, _means: np.ndarray | None = None
+) -> np.ndarray:
     """BINARY_INV adaptive threshold: 255 where px <= local_mean - C.
 
     Box mean stands in for both cv2 MEAN_C and GAUSSIAN_C variants.
+    ``_means`` lets callers reuse a shared-integral box mean
+    (`_box_means_shared`).
     """
-    means = _integral_means(gray, block)
+    means = _integral_means(gray, block) if _means is None else _means
     return ((gray.astype(np.float64) <= means - c) * 255).astype(np.uint8)
 
 
@@ -372,12 +419,27 @@ def brightness_stats(gray: np.ndarray) -> tuple[float, float, float, float, floa
 
     Reference: `_analyze_brightness` dark_document_classifier.py:53-74.
     """
-    mean_b = float(gray.mean())
-    median_b = float(np.median(gray))
-    contrast = float(gray.std())
+    # one 256-bin histogram replaces mean/median/counts passes.  All
+    # bit-identical to the direct forms: uint8 sums are exact integers
+    # in float64 (any summation order), the median is an order
+    # statistic ((a + b) / 2 of integers for even sizes — numpy's
+    # exact expression), and the < 100 / < 50 counts are cumulative
+    # histogram reads.  std keeps the two-pass numpy path (its
+    # deviations round, so summation order matters there).
     total = gray.size
-    dark = float(np.count_nonzero(gray < 100)) / total * 100.0
-    very_dark = float(np.count_nonzero(gray < 50)) / total * 100.0
+    hist = np.bincount(gray.reshape(-1), minlength=256)
+    cum = np.cumsum(hist)
+    mean_b = float(np.dot(hist.astype(np.float64), np.arange(256.0)) / total)
+    half = total // 2
+    upper = int(np.searchsorted(cum, half + 1))  # value of order stat half
+    if total % 2:
+        median_b = float(upper)
+    else:
+        lower = int(np.searchsorted(cum, half))  # order stat half-1
+        median_b = (float(lower) + float(upper)) / 2.0
+    contrast = float(gray.std())
+    dark = float(cum[99]) / total * 100.0
+    very_dark = float(cum[49]) / total * 100.0
     return mean_b, median_b, contrast, dark, very_dark
 
 
@@ -413,15 +475,19 @@ def crop_roi(gray: np.ndarray):
     return gray[y1:y2, x1:x2], frac
 
 
-def text_density(gray: np.ndarray, _med: np.ndarray | None = None) -> float:
+def text_density(
+    gray: np.ndarray,
+    _med: np.ndarray | None = None,
+    _means: np.ndarray | None = None,
+) -> float:
     """Ink fraction: median3 -> adaptive INV (35, 15) -> open 3x3.
 
     Reference: `_text_density` :121-128.  ``_med`` lets callers reuse a
     precomputed ``median3(gray)`` (same array is needed by
-    ``core_content_fraction``).
+    ``core_content_fraction``), ``_means`` its shared box mean.
     """
     g = median3(gray) if _med is None else _med
-    thr = adaptive_threshold_inv(g, 35, 15)
+    thr = adaptive_threshold_inv(g, 35, 15, _means=_means)
     thr = morph_open(thr, 3, 3)
     return float(np.count_nonzero(thr)) / float(thr.size)
 
@@ -469,15 +535,24 @@ def estimate_skew_deg(gray: np.ndarray) -> float:
     return float(np.median(dists)) if dists else 0.0
 
 
-def core_content_fraction(gray: np.ndarray, _med: np.ndarray | None = None) -> float:
+def core_content_fraction(
+    gray: np.ndarray,
+    _med: np.ndarray | None = None,
+    _means: np.ndarray | None = None,
+) -> float:
     """Largest merged content blob pixel-area fraction.
 
     Reference: `_core_content_fraction` :174-188 — median3, adaptive INV
     (41, 15), close 15x15 x2, largest component area / (h*w).
     """
     g = median3(gray) if _med is None else _med
-    thr = adaptive_threshold_inv(g, 41, 15)
-    merged = morph_close(morph_close(thr, 15, 15), 15, 15)
+    thr = adaptive_threshold_inv(g, 41, 15, _means=_means)
+    # the reference closes twice; closing with an odd (symmetric)
+    # structuring element is idempotent — clamped-window dilate/erode
+    # form an adjunction, so close(close(x)) == close(x) pointwise
+    # (property-tested in tests/test_imageops.py) — so one close
+    # computes the identical mask at half the cost
+    merged = morph_close(thr, 15, 15)
     comps = connected_components(merged)
     if not comps:
         return 0.0
@@ -503,24 +578,27 @@ IMAGE_FEATURE_NAMES = [
 ]
 
 
-def image_features(px: np.ndarray) -> dict:
+def image_features(px: np.ndarray, _gray: np.ndarray | None = None) -> dict:
     """All image-path features for one decoded RGB image, one pass.
 
     Mirrors the reference per-page order: ROI crop first, then metrics
     on the cropped working array (`assess_pdf` :395-403); brightness
     stats on the full image (the dark classifier is a separate stage).
+    ``_gray`` lets callers (the feature UDF) share one grayscale plane
+    with the phash computation.
     """
-    gray = grayscale(px)
+    gray = grayscale(px) if _gray is None else _gray
     cropped, roi_frac_v = crop_roi(gray)
     mean_b, median_b, contrast, dark, very_dark = brightness_stats(gray)
     med = median3(cropped)  # shared by text_density + core_content_fraction
+    means = _box_means_shared(med, (35, 41))  # one integral, both blocks
     return {
         "roi_frac": roi_frac_v,
         "avg_blur": laplacian_variance(cropped),
-        "text_density": text_density(cropped, _med=med),
+        "text_density": text_density(cropped, _med=med, _means=means[35]),
         "is_table_like": bool(is_table_like(cropped)),
         "avg_skew_deg": estimate_skew_deg(cropped),
-        "core_frac": core_content_fraction(cropped, _med=med),
+        "core_frac": core_content_fraction(cropped, _med=med, _means=means[41]),
         "mean_brightness": mean_b,
         "median_brightness": median_b,
         "contrast": contrast,

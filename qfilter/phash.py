@@ -16,10 +16,19 @@ from .imageops import grayscale
 __all__ = ["average_hash", "hamming64"]
 
 
-def average_hash(px: np.ndarray) -> int:
-    """Average hash of an RGB (or gray) image -> signed int64."""
-    gray = grayscale(px).astype(np.float64)
+def average_hash(px: np.ndarray, _gray: np.ndarray | None = None) -> int:
+    """Average hash of an RGB (or gray) image -> signed int64.
+
+    ``_gray`` lets the feature UDF reuse its already-computed grayscale
+    plane.  Cell means come from one int64 integral image — exact
+    integer window sums, so the quotients are bit-identical to the
+    previous per-cell ``slice.mean()`` (uint8 sums are exact in either
+    accumulator).
+    """
+    gray = grayscale(px) if _gray is None else _gray
     h, w = gray.shape
+    ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(gray, axis=0, dtype=np.int64), axis=1, out=ii[1:, 1:])
     # area-mean resize to 8x8 via bucketed means (handles any h, w >= 1)
     ys = (np.arange(8 + 1) * h) // 8
     xs = (np.arange(8 + 1) * w) // 8
@@ -36,11 +45,11 @@ def average_hash(px: np.ndarray) -> int:
             x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
             x0 = min(x0, w - 1)
             x1 = min(max(x1, x0 + 1), w) if w > 0 else 1
-            cells[i, j] = gray[y0:y1, x0:x1].mean()
+            cells[i, j] = (
+                ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
+            ) / float((y1 - y0) * (x1 - x0))
     bits = (cells > cells.mean()).reshape(-1)
-    val = 0
-    for b in bits:
-        val = (val << 1) | int(b)
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
     if val >= 1 << 63:
         val -= 1 << 64
     return int(val)

@@ -184,3 +184,56 @@ def test_phash_tiny_images():
         px = np.full((h, w, 3), 128, dtype=np.uint8)
         v = average_hash(px)
         assert isinstance(v, int)
+
+
+def test_morph_close_idempotent_odd_kernels():
+    """core_content_fraction computes ONE close where the reference
+    closes twice: with an odd (symmetric) structuring element the
+    clamped-window dilate/erode pair is an adjunction, so closing is
+    idempotent — close(close(x)) == close(x) pointwise.  (Even kernels
+    have asymmetric windows and do NOT satisfy this; the pipeline only
+    ever closes with odd kernels.)"""
+    rng = np.random.default_rng(7)
+    for _ in range(60):
+        h, w = int(rng.integers(1, 90)), int(rng.integers(1, 90))
+        m = ((rng.random((h, w)) < rng.random()) * 255).astype(np.uint8)
+        for kh, kw in ((15, 15), (3, 3), (15, 1), (1, 7), (5, 9)):
+            c1 = ops.morph_close(m, kh, kw)
+            assert (ops.morph_close(c1, kh, kw) == c1).all(), (kh, kw)
+
+
+def test_box_means_shared_matches_integral_means():
+    """one padded-to-max integral must reproduce _integral_means for
+    every block size bit-exactly (edge pads nest; int sums are exact)."""
+    rng = np.random.default_rng(8)
+    for _ in range(20):
+        h, w = int(rng.integers(1, 120)), int(rng.integers(1, 120))
+        g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        shared = ops._box_means_shared(g, (35, 41, 3))
+        for b in (35, 41, 3):
+            ref = ops._integral_means(g, b)
+            assert (shared[b] == ref).all(), b
+
+
+def test_brightness_stats_matches_direct_forms():
+    rng = np.random.default_rng(9)
+    for _ in range(30):
+        h, w = int(rng.integers(1, 100)), int(rng.integers(1, 100))
+        g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        mean_b, median_b, contrast, dark, very_dark = ops.brightness_stats(g)
+        assert mean_b == float(g.mean())
+        assert median_b == float(np.median(g))
+        assert contrast == float(g.std())
+        assert dark == float(np.count_nonzero(g < 100)) / g.size * 100.0
+        assert very_dark == float(np.count_nonzero(g < 50)) / g.size * 100.0
+
+
+def test_laplacian_variance_matches_float64_form():
+    rng = np.random.default_rng(10)
+    for _ in range(20):
+        h, w = int(rng.integers(2, 80)), int(rng.integers(2, 80))
+        g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        gf = g.astype(np.float64)
+        p = ops._pad_edge(gf, 1, 1, 1, 1)
+        lap = p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4.0 * gf
+        assert ops.laplacian_variance(g) == float(lap.var())
