@@ -149,7 +149,7 @@ def _doc_nlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """langid + token counts + perplexity via the executor-side bundle."""
     from pyspark.sql import types as T
 
-    from qfilter.textops import default_bundle, text_heuristics
+    from qfilter.textops import default_bundle
 
     schema = T.StructType(
         [
@@ -162,22 +162,31 @@ def _doc_nlp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(schema)
     def nlp(text: pd.Series) -> pd.DataFrame:
+        # batched LM evaluation (qfilter.batch_text): documents run to
+        # hundreds of tokens, so the per-token dict-lookup loop was the
+        # hot path here.  Values are bit-identical to the per-row form
+        # (tests/test_batch_text.py), so the sidecar oracle still holds.
+        from qfilter.batch_text import batch_token_stats
+        from qfilter.textops import token_count_bpe_ish
+
         bundle = default_bundle()
-        rows = []
-        for t in text:
-            t = t or ""
+        caps = [t or "" for t in text]
+        starts, word_lps, _confs = batch_token_stats(bundle, caps)
+        lengths = np.diff(starts)
+        out_rows = []
+        for r, t in enumerate(caps):
             lang, _ = bundle.langid.predict(t)
-            heur = text_heuristics(t)
-            ppl = bundle.lm.perplexity(t)
-            rows.append(
+            s, e = int(starts[r]), int(starts[r + 1])
+            ppl = float(np.exp(-word_lps[s:e].mean())) if e > s else None
+            out_rows.append(
                 {
                     "lang_pred": lang,
-                    "token_count": heur["token_count"],
-                    "words_count": heur["words_count"],
-                    "perplexity": float(ppl) if np.isfinite(ppl) else None,
+                    "token_count": token_count_bpe_ish(t),
+                    "words_count": int(lengths[r]),
+                    "perplexity": ppl,
                 }
             )
-        return pd.DataFrame(rows)
+        return pd.DataFrame(out_rows)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", nlp(F.col("text")).alias("_n")).select("doc_id", "_n.*")
@@ -397,6 +406,68 @@ def _qf_model_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# qf_model_cv summary expressions — IDENTICAL text runs in Spark
+# (F.expr) and DuckDB so every double op matches bit-for-bit; all
+# inputs are exact int64 sums (acc_q9 <= 1e9, squares <= 1e18).
+_CV_ACC_Q9_EXPR = (
+    "CAST(floor((CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE))"
+    " * CAST('1e9' AS DOUBLE)) AS BIGINT)"
+)
+_CV_MEAN_EXPR = "CAST(floor(CAST(sum(acc_q9) OVER () AS DOUBLE) / 5.0) AS BIGINT)"
+_CV_STD_EXPR = (
+    "CAST(floor(sqrt(greatest("
+    "CAST(sum(acc_q9 * acc_q9) OVER () AS DOUBLE) / 5.0"
+    " - (CAST(sum(acc_q9) OVER () AS DOUBLE) / 5.0)"
+    " * (CAST(sum(acc_q9) OVER () AS DOUBLE) / 5.0),"
+    " CAST(0 AS DOUBLE)))) AS BIGINT)"
+)
+
+
+def _qf_model_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 k-fold CV mean+/-std accuracy (reference
+    tune_extended_classifier.py:283 cross_val_score(cv=5)):
+    deterministic positional folds over the sorted training sample,
+    each row predicted by the model that did NOT train on its fold,
+    per-fold accuracy + fleet mean/std composed from exact integer
+    sums (quantized to q9) so the DuckDB oracle is bit-identical.
+
+    Scale note: the row_number window only ranks the <=4096-row
+    training sample definition; at 100 TB the sample would be a
+    pre-materialized table and this stays a broadcast-predict map."""
+    from pyspark.sql import Window
+
+    from qfilter.cascade import with_labels
+    from qfilter.features import with_all_features
+    from qfilter.model import (
+        CV_K,
+        TRAIN_SAMPLE_MAX,
+        cv_models_from_features,
+        with_cv_scores,
+    )
+    from qfilter.tune import with_derived_features
+
+    feats = with_derived_features(
+        with_labels(with_all_features(_fixture_images(spark)))
+    ).filter(F.col("error").isNull())
+    models = cv_models_from_features(feats)
+    sample = (
+        feats.withColumn("rn", F.row_number().over(Window.orderBy("image_id")))
+        .filter(F.col("rn") <= TRAIN_SAMPLE_MAX)
+        .withColumn("fold", ((F.col("rn") - F.lit(1)) % F.lit(CV_K)).cast("int"))
+    )
+    scored = with_cv_scores(sample, models)
+    per_fold = scored.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum((F.col("pred_keep") == F.col("keep")).cast("long")).alias("n_correct"),
+    )
+    q = per_fold.withColumn("acc_q9", F.expr(_CV_ACC_Q9_EXPR))
+    return q.select(
+        "fold", "n_test", "n_correct", "acc_q9",
+        F.expr(_CV_MEAN_EXPR).alias("mean_acc_q9"),
+        F.expr(_CV_STD_EXPR).alias("std_acc_q9"),
+    )
+
+
 def _qf_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 threshold grid-search argmax (tune:103-123 shape)."""
     from qfilter.features import with_all_features
@@ -423,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_derived_features": _qf_derived_features,
         "qf_grid_search": _qf_grid_search,
         "qf_model_infer": _qf_model_infer,
+        "qf_model_cv": _qf_model_cv,
         "qf_line_features": _qf_line_features,
         "qf_enhance_stats": _qf_enhance_stats,
         "qf_enhanced_bytes": _qf_enhanced_bytes,
@@ -491,6 +563,20 @@ def oracle_sql() -> dict[str, str]:
     zexpr = f"CAST('{mb!r}' AS DOUBLE)"
     for _wi, _t in zip(mw, _terms):
         zexpr = f"({zexpr} + CAST('{float(_wi)!r}' AS DOUBLE) * {_t})"
+
+    # qf_model_cv: five per-fold weight sets, same round-trip-exact
+    # literal embedding; the CASE picks each row's held-out model.
+    from make_oracle_sidecars import model_cv_weights_from_labels_ref
+    from qfilter.model import CV_K as _cvk
+    from qfilter.model import TRAIN_SAMPLE_MAX as _tsm
+
+    _cv_cases = []
+    for _f, (_fw, _fb) in enumerate(model_cv_weights_from_labels_ref(fdir, k=_cvk)):
+        _ze = f"CAST('{_fb!r}' AS DOUBLE)"
+        for _wi, _t in zip(_fw, _terms):
+            _ze = f"({_ze} + CAST('{float(_wi)!r}' AS DOUBLE) * {_t})"
+        _cv_cases.append(f"WHEN {_f} THEN {_ze}")
+    cv_zcase = "CASE fold " + " ".join(_cv_cases) + " END"
 
     dup_docs = (
         "SELECT doc_id, text, lang FROM documents "
@@ -710,6 +796,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor({zexpr} * CAST('1e9' AS DOUBLE)) AS BIGINT)
                      AS score_q9
             FROM read_parquet('{labels_ref}') WHERE error IS NULL
+            """
+        ),
+        "qf_model_cv": (
+            f"""
+            WITH f AS (
+              SELECT *, row_number() OVER (ORDER BY image_id) AS rn
+              FROM read_parquet('{labels_ref}') WHERE error IS NULL
+            ), s AS (
+              SELECT *, CAST((rn - 1) % {_cvk} AS INT) AS fold
+              FROM f WHERE rn <= {_tsm}
+            ), scored AS (
+              SELECT fold, keep,
+                     ({cv_zcase}) > CAST(0 AS DOUBLE) AS pred_keep
+              FROM s
+            ), pf AS (
+              SELECT fold, count(*) AS n_test,
+                     CAST(sum(CASE WHEN pred_keep = keep THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_correct
+              FROM scored GROUP BY fold
+            ), q AS (
+              SELECT fold, n_test, n_correct,
+                     {_CV_ACC_Q9_EXPR} AS acc_q9
+              FROM pf
+            )
+            SELECT fold, n_test, n_correct, acc_q9,
+                   {_CV_MEAN_EXPR} AS mean_acc_q9,
+                   {_CV_STD_EXPR} AS std_acc_q9
+            FROM q
             """
         ),
         "text_quality_stats": """

@@ -37,7 +37,7 @@ def _sf_value(sf_dir: str) -> float:
         return 0.0
 
 
-def run_suite(spark, sf_dir: str, tier: str) -> tuple[dict, int, float]:
+def run_suite(spark, sf_dir: str, tier: str) -> tuple[dict, int, float, list]:
     from make_fixtures import ensure_fixtures
 
     from qfilter import corpus, similarity
@@ -82,7 +82,16 @@ def run_suite(spark, sf_dir: str, tier: str) -> tuple[dict, int, float]:
         from pyspark.sql import functions as F
 
         e2e(images.filter(F.crc32(F.col("image_id")) % 59 == 0), "warmup")
-        timed("qfilter_e2e", lambda: e2e(images, "labels"))
+        # MEDIAN of 3 timed runs: single-shot e2e walls swing +/-40%
+        # in this sandbox (r01 single-shots: 23-45 s for the identical
+        # job), so one sample can't resolve round-over-round changes.
+        # All walls are reported (e2e_walls) for transparency.
+        e2e_walls = []
+        for _ in range(3):
+            t0 = time.time()
+            e2e(images, "labels")
+            e2e_walls.append(round(time.time() - t0, 3))
+        timings["qfilter_e2e"] = sorted(e2e_walls)[1]
 
         # BASELINE.md §3: the bench run itself must hit keep/drop
         # F1 >= 0.99 vs the single-node oracle on the same rows
@@ -130,7 +139,7 @@ def run_suite(spark, sf_dir: str, tier: str) -> tuple[dict, int, float]:
         )
     finally:
         shutil.rmtree(sink, ignore_errors=True)
-    return timings, n_images, keep_f1
+    return timings, n_images, keep_f1, e2e_walls
 
 
 def main() -> None:
@@ -138,7 +147,7 @@ def main() -> None:
 
     spark = get_spark(app="qfilter-bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
-    timings, n_images, keep_f1 = run_suite(spark, SF_DIR, BENCH_TIER)
+    timings, n_images, keep_f1, e2e_walls = run_suite(spark, SF_DIR, BENCH_TIER)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "qfilter bench suite wall time (e2e filter + operator suite)",
@@ -148,6 +157,7 @@ def main() -> None:
         "sf": _sf_value(SF_DIR),
         "images": n_images,
         "images_per_sec": round(n_images / timings["qfilter_e2e"], 1),
+        "e2e_walls": e2e_walls,
         "keep_f1_vs_oracle": round(keep_f1, 6),
         "cpus": CPUS,
     }

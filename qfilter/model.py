@@ -43,8 +43,11 @@ from pyspark.sql import types as T
 __all__ = [
     "MODEL_FEATURES",
     "TRAIN_SAMPLE_MAX",
+    "CV_K",
     "fit_logreg",
     "train_from_features",
+    "cv_models_from_features",
+    "with_cv_scores",
     "save_model",
     "load_model",
     "with_model_scores",
@@ -135,6 +138,60 @@ def train_from_features(
     X = np.asarray([[float(r[f]) for f in MODEL_FEATURES] for r in rows])
     y = np.asarray([1.0 if r[label_col] else 0.0 for r in rows])
     return fit_logreg(X, y)
+
+
+CV_K = 5  # folds, as the reference's cross_val_score(cv=5) default
+
+
+def cv_models_from_features(
+    features: DataFrame,
+    k: int = CV_K,
+    label_col: str = "keep",
+    order_col: str = "image_id",
+    sample_max: int = TRAIN_SAMPLE_MAX,
+) -> list[tuple[np.ndarray, float]]:
+    """K-fold CV models (A7, reference `tune_extended_classifier.py`
+    cross_val_score): deterministic orderBy+limit sample, fold f =
+    position % k over the sorted sample, model f trained on every
+    OTHER fold.  Same driver discipline as `train_from_features` —
+    only <= sample_max rows leave the cluster."""
+    rows = (
+        features.select(order_col, label_col, *MODEL_FEATURES)
+        .orderBy(order_col)
+        .limit(sample_max)
+        .collect()
+    )
+    X = np.asarray([[float(r[f]) for f in MODEL_FEATURES] for r in rows])
+    y = np.asarray([1.0 if r[label_col] else 0.0 for r in rows])
+    folds = np.arange(len(rows)) % k
+    return [fit_logreg(X[folds != f], y[folds != f]) for f in range(k)]
+
+
+def with_cv_scores(
+    df: DataFrame, models: list[tuple[np.ndarray, float]], fold_col: str = "fold"
+) -> DataFrame:
+    """Held-out prediction: each row is scored by the model that did
+    NOT train on its fold.  One broadcast of the (k, d) weight matrix,
+    one Arrow-batched UDF; z accumulates left-to-right per feature like
+    `with_model_scores`, so the oracle's per-fold nested affine SQL is
+    bit-identical."""
+    spark = df.sparkSession
+    W = np.asarray([m[0] for m in models], dtype=np.float64)
+    B = np.asarray([m[1] for m in models], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((W, B))
+
+    @F.pandas_udf(T.BooleanType())
+    def pred(fold: pd.Series, *cols: pd.Series) -> pd.Series:
+        Wm, Bm = bc.value
+        fidx = fold.to_numpy(dtype=np.int64)
+        z = Bm[fidx].copy()
+        for i, c in enumerate(cols):
+            z = z + Wm[fidx, i] * c.to_numpy(dtype=np.float64)
+        return pd.Series(z > 0.0)
+
+    return df.withColumn(
+        "pred_keep", pred(F.col(fold_col), *[F.col(f) for f in MODEL_FEATURES])
+    )
 
 
 def save_model(path: str, w: np.ndarray, b: float) -> None:

@@ -83,3 +83,38 @@ def test_model_infer_predicts_cascade_keep(spark):
     assert agg.n > 0
     assert 0 < agg.n_pred_keep < agg.n, "degenerate all-one-class prediction"
     assert agg.ok / agg.n >= 0.85, f"in-sample accuracy {agg.ok / agg.n}"
+
+
+def test_cv_models_match_labels_ref_cv(spark):
+    """Spark-side k-fold CV training (positional folds over the sorted
+    sample) must be bit-identical to the labels_ref oracle twin — the
+    basis of the qf_model_cv oracle."""
+    from make_fixtures import ensure_fixtures
+    from make_oracle_sidecars import model_cv_weights_from_labels_ref
+
+    from qfilter.model import CV_K, cv_models_from_features
+
+    spark_models = cv_models_from_features(_spark_features(spark))
+    oracle_models = model_cv_weights_from_labels_ref(ensure_fixtures("smoke"), k=CV_K)
+    assert len(spark_models) == len(oracle_models) == CV_K
+    for (ws, bs), (wo, bo) in zip(spark_models, oracle_models):
+        assert np.array_equal(ws, wo) and bs == bo
+    # fold models must differ from each other (trained on different rows)
+    assert not np.array_equal(spark_models[0][0], spark_models[1][0])
+
+
+def test_cv_heldout_accuracy_reasonable(spark):
+    """Held-out accuracy should be far above chance on every fold and
+    the fleet std small — the labels are cascade-derived from the same
+    features, so a sane LR generalizes across folds."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["qf_model_cv"](spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_test"] > 0
+        assert r["acc_q9"] >= int(0.8e9), (r["fold"], r["acc_q9"])
+    mean_acc = rows[0]["mean_acc_q9"]
+    std_acc = rows[0]["std_acc_q9"]
+    assert mean_acc >= int(0.8e9)
+    assert 0 <= std_acc <= int(0.2e9)
