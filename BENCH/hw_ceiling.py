@@ -1,0 +1,118 @@
+"""Hardware scaling ceiling probe (no Spark).
+
+Runs the e2e hot-path kernels (decode -> grayscale -> pixel metrics ->
+pHash) over a fixed sample of fixture images in P pinned processes and
+reports aggregate rows/sec per P.  This bounds what ANY embarrassingly
+parallel job can achieve on this box: if per-process throughput drops
+at P cores, the machine (memory bandwidth / LLC / host oversubscription)
+is the bottleneck, not the Spark plan.
+
+Why it matters for the N->4N scaling gate: a real 4N-executor cluster
+has 4x the nodes and therefore 4x the memory bandwidth; a single box
+does not.  The probe identifies the largest core count at which this
+box still emulates "cores == cluster resources" faithfully, which is
+the honest operating range for the local[N] -> local[4N] stand-in.
+
+    python BENCH/hw_ceiling.py [--procs 1,2,4,8,16,32] [--reps 8]
+
+Writes BENCH/hw_ceiling.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for p in (REPO, os.path.join(REPO, "tools")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+
+def load_sample(n: int = 300):
+    import pyarrow.parquet as pq
+
+    from make_fixtures import ensure_fixtures
+
+    tdir = ensure_fixtures("bench")
+    t = pq.read_table(
+        os.path.join(tdir, "images.parquet"),
+        columns=["bytes", "fmt", "w", "h"],
+    ).slice(0, n)
+    return list(
+        zip(
+            t["bytes"].to_pylist(),
+            t["fmt"].to_pylist(),
+            t["w"].to_pylist(),
+            t["h"].to_pylist(),
+        )
+    )
+
+
+def _worker(args):
+    cpu, rows, reps = args
+    os.sched_setaffinity(0, {cpu})
+    from qfilter import codecs, imageops
+    from qfilter.phash import average_hash
+
+    t0 = time.time()
+    cnt = 0
+    for _ in range(reps):
+        for b, f, ww, hh in rows:
+            try:  # fixture plants corrupt error-channel rows by design
+                px = codecs.decode(b, f, int(ww), int(hh))
+                gray = imageops.grayscale(px)
+                feats = imageops.image_features(px, _gray=gray)
+                feats["phash64"] = average_hash(px, _gray=gray)
+            except Exception:  # noqa: BLE001
+                pass
+            cnt += 1
+    return cnt, time.time() - t0
+
+
+def run_level(nproc: int, rows, reps: int) -> float:
+    """Aggregate rows/sec with `nproc` processes pinned to distinct cores.
+
+    Worker imports + warm-up happen before each worker's timer starts;
+    wall = max over workers, so stragglers count.
+    """
+    with mp.get_context("spawn").Pool(nproc) as pool:
+        res = pool.map(_worker, [(i, rows, reps) for i in range(nproc)])
+    total = sum(c for c, _ in res)
+    wall = max(t for _, t in res)
+    return total / wall
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--procs", default="1,2,4,8,16,32")
+    ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--sample", type=int, default=300)
+    args = ap.parse_args()
+
+    rows = load_sample(args.sample)
+    levels = [int(x) for x in args.procs.split(",")]
+    tput = {}
+    for n in levels:
+        tput[n] = round(run_level(n, rows, args.reps), 1)
+        print(f"# procs={n:3d} rows/sec={tput[n]:8.1f} per_proc={tput[n]/n:7.1f}",
+              file=sys.stderr)
+    effs = {
+        f"{lo}->{hi}": round(tput[hi] / tput[lo] / (hi / lo), 3)
+        for lo in levels
+        for hi in levels
+        if hi == 4 * lo
+    }
+    out = {"rows_per_sec": tput, "efficiency_4x": effs,
+           "sample": args.sample, "reps": args.reps}
+    with open(os.path.join(REPO, "BENCH", "hw_ceiling.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

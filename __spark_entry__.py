@@ -286,6 +286,41 @@ def _stream_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema)
 
 
+def _stream_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming session windows (built-in session_window,
+    watermark-bounded merging state) drained with availableNow.
+    Append mode emits sessions finalized by the watermark
+    (session_end + 30min gap <= max(ts) - 2h); the batch SQL oracle
+    replicates gap-cumsum sessionization plus that cutoff, so this
+    checks the stateful streaming plan end-to-end."""
+    import shutil
+    import tempfile
+
+    from qfilter.streaming import stream_event_sessions
+
+    base = tempfile.mkdtemp(prefix="qf_stream_sess_")
+    try:
+        land = os.path.join(base, "landing")
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(land)
+        )
+        q = stream_event_sessions(spark, land, out, ckpt)
+        assert q.awaitTermination(600), "availableNow stream drain timed out"
+        res = spark.read.parquet(out).select(
+            "user_id", "session_start", "session_end", "n_events", "sum_value"
+        )
+        pdf = res.toPandas()
+        schema = res.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema)
+
+
 def _mm_image_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qfilter.multimodal import image_thumbnail
 
@@ -513,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- events (window/sequential ops) ---
         "event_gaps": corpus.event_gaps,
         "event_rollup": corpus.event_rollup,
+        "event_sessions": corpus.event_sessions,
         "weighted_median_value": corpus.weighted_median_value,
         # --- TPC-H-ish rollup/join/grid/topk ---
         "lineitem_rollup": corpus.lineitem_rollup,
@@ -527,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": similarity.ivf_ann_topk,
         # --- streaming ---
         "stream_event_windows": _stream_event_windows,
+        "stream_event_sessions": _stream_event_sessions,
         # --- multimodal plumbing ---
         "mm_image_thumbs": _mm_image_thumbs,
         "mm_audio_features": _mm_audio,
@@ -908,6 +945,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(gap_us) AS BIGINT) AS max_gap_us,
                    CAST(sum(CASE WHEN gap_us > CAST(3600 AS BIGINT) * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_gt_1h
             FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+        """,
+        # gap-based sessionization: new session when the inter-event
+        # gap >= 30 min (merge iff gap < 30 min, matching Spark's
+        # session_window semantics); session_idx via cumulative sum
+        "event_sessions": """
+            WITH g AS (
+              SELECT user_id, ts, event_id, value,
+                     date_diff('us',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_us
+              FROM events
+            ), s AS (
+              SELECT *, CAST(sum(CASE WHEN gap_us IS NULL
+                                       OR gap_us >= CAST(1800 AS BIGINT) * 1000000
+                                      THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                   AS session_idx
+              FROM g
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   date_diff('us', min(ts), max(ts)) AS duration_us,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM s GROUP BY user_id, session_idx
+        """,
+        # stateful streaming sessions: same sessionization, restricted
+        # to sessions finalized by the final watermark (session window
+        # end = last ts + 30 min gap; emitted when <= max(ts) - 2h)
+        "stream_event_sessions": """
+            WITH m AS (SELECT max(ts) AS mx FROM events),
+            g AS (
+              SELECT user_id, ts, event_id, value,
+                     date_diff('us',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_us
+              FROM events
+            ), s AS (
+              SELECT *, CAST(sum(CASE WHEN gap_us IS NULL
+                                       OR gap_us >= CAST(1800 AS BIGINT) * 1000000
+                                      THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                   AS session_idx
+              FROM g
+            )
+            SELECT user_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM s, m
+            GROUP BY user_id, session_idx, m.mx
+            HAVING max(ts) + INTERVAL '30 minutes' <= m.mx - INTERVAL '2 hours'
         """,
         "event_rollup": """
             SELECT event_type, count(*) AS n,

@@ -39,6 +39,7 @@ __all__ = [
     "simhash64",
     "event_gaps",
     "event_rollup",
+    "event_sessions",
     "lineitem_rollup",
     "top_customers",
     "discount_grid_argmax",
@@ -398,6 +399,43 @@ def event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
+    )
+
+
+def event_sessions(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Gap-based sessionization (W-class): per-user sessions split where
+    the inter-event gap reaches `gap_minutes`.
+
+    Classic lag -> boundary-flag -> cumulative-sum session index, all
+    window ops partitioned by user_id — one shuffle on the session key,
+    scale-safe (state per user is a running int, never materialized).
+    The boundary rule (new session when gap >= g, i.e. merge only when
+    gap < g) matches Spark's built-in `session_window` semantics, so
+    `streaming.stream_event_sessions` over the same input yields the
+    same sessions (parity-tested in tests/test_streaming.py); this
+    batch form is SQL-expressible for the exact DuckDB oracle.
+    Microsecond integer arithmetic throughout (see event_gaps)."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 60_000_000 * gap_minutes
+    flagged = ev.withColumn(
+        "gap_us", F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
+                         "(PARTITION BY user_id ORDER BY ts, event_id), ts)")
+    ).withColumn(
+        "new_sess",
+        (F.col("gap_us").isNull() | (F.col("gap_us") >= gap_us)).cast("int"),
+    )
+    sess = flagged.withColumn("session_idx", F.sum("new_sess").over(w))
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))").alias("duration_us"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
 
 

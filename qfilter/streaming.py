@@ -13,8 +13,10 @@ streaming job too:
   lineage resume).
 * `stream_event_window_counts` — event-time tumbling-window counts
   with a watermark for late data (the generic streaming-agg pattern).
+* `stream_event_sessions` — stateful per-user session windows via the
+  built-in `session_window` with watermark-bounded merging state.
 
-Both reuse the exact batch transformations — Structured Streaming
+All reuse the exact batch transformations — Structured Streaming
 runs the same Catalyst plan incrementally, so batch/stream parity is
 by construction (asserted in tests/test_streaming.py).
 """
@@ -28,7 +30,23 @@ from pyspark.sql import types as T
 from .cascade import with_labels
 from .features import with_all_features
 
-__all__ = ["IMAGES_SCHEMA", "stream_quality_filter", "stream_event_window_counts"]
+__all__ = [
+    "IMAGES_SCHEMA",
+    "stream_quality_filter",
+    "stream_event_window_counts",
+    "stream_event_sessions",
+]
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
 
 IMAGES_SCHEMA = T.StructType(
     [
@@ -87,16 +105,7 @@ def stream_event_window_counts(
     """Event-time tumbling-window counts per event_type with a
     watermark bounding state for late data."""
     if schema is None:
-        schema = T.StructType(
-            [
-                T.StructField("event_id", T.LongType()),
-                T.StructField("ts", T.TimestampType()),
-                T.StructField("user_id", T.LongType()),
-                T.StructField("event_type", T.StringType()),
-                T.StructField("value", T.DoubleType()),
-                T.StructField("props", T.StringType()),
-            ]
-        )
+        schema = EVENTS_SCHEMA
     stream = spark.readStream.schema(schema).parquet(input_dir)
     agg = (
         stream.withWatermark("ts", watermark)
@@ -109,6 +118,49 @@ def stream_event_window_counts(
             F.col("win.start").alias("win_start"),
             F.col("win.end").alias("win_end"),
             "event_type", "n", "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_event_sessions(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    schema: T.StructType | None = None,
+):
+    """Stateful session windows: per-user sessions via the built-in
+    `session_window` (merging state bounded by the watermark).  Append
+    mode emits a session once the watermark passes its end (last event
+    ts + gap).  Session semantics — merge iff inter-event gap < `gap`
+    — match the batch `corpus.event_sessions` cumsum form exactly
+    (parity asserted in tests/test_streaming.py), and the emitted
+    window is [min ts, max ts + gap)."""
+    if schema is None:
+        schema = EVENTS_SCHEMA
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "sum_value",
+            F.col("win.end").alias("win_end"),
         )
     )
     return (

@@ -74,3 +74,64 @@ def test_event_window_counts(spark, tmp_path_factory):
     )
     assert j.count() == got.count() > 0
     assert j.filter(F.col("sn") != F.col("n")).count() == 0
+
+
+def test_event_sessions_stream_batch_parity(spark, tmp_path_factory):
+    """session_window streaming == gap-cumsum batch sessionization on
+    the emitted (watermark-finalized) subset; win_end = last ts + gap."""
+    from qfilter.streaming import stream_event_sessions
+
+    src = "/root/testdata/sf0.001"
+    land = str(tmp_path_factory.mktemp("sess_landing"))
+    spark.read.parquet(f"{src}/events.parquet").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(land)
+    out = str(tmp_path_factory.mktemp("sess_out"))
+    ckpt = str(tmp_path_factory.mktemp("sess_ckpt"))
+    q = stream_event_sessions(spark, land, out, ckpt)
+    assert q.awaitTermination(600)
+    got = spark.read.parquet(out)
+    n_got = got.count()
+    assert n_got > 0
+    # streamed window end is last event ts + the 30-minute gap
+    assert (
+        got.filter(
+            F.col("win_end") != F.col("session_end") + F.expr("INTERVAL 30 MINUTES")
+        ).count()
+        == 0
+    )
+
+    # batch gap-cumsum sessionization over the same landing data
+    # (mirrors corpus.event_sessions, which reads {sf_dir}/events.parquet)
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(land)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "gap_us",
+        F.expr(
+            "timestampdiff(MICROSECOND, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+        ),
+    ).withColumn(
+        "new_sess",
+        (F.col("gap_us").isNull() | (F.col("gap_us") >= 1_800_000_000)).cast("int"),
+    )
+    sess = flagged.withColumn("session_idx", F.sum("new_sess").over(w))
+    bsess = sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    # every emitted session matches a batch session exactly
+    gsel = got.select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    bsel = bsess.select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    assert gsel.exceptAll(bsel).count() == 0
+    # emitted set = batch sessions finalized by the final watermark
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    fin = bsel.filter(
+        F.col("session_end") + F.expr("INTERVAL 30 MINUTES")
+        <= F.lit(mx) - F.expr("INTERVAL 2 HOURS")
+    )
+    assert n_got == fin.count()
