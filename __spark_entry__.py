@@ -543,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cer_per_lang": corpus.cer_per_lang,
         "trigram_jaccard_pairs": corpus.trigram_jaccard_pairs,
         "minhash_lsh_dup_pairs": corpus.minhash_lsh_dup_pairs,
+        "neardup_components": corpus.neardup_components,
         "simhash64": corpus.simhash64,
         "doc_nlp": _doc_nlp,
         # --- events (window/sequential ops) ---
@@ -1127,6 +1128,26 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_dup_pairs": (
             f"SELECT id1, id2, est_jaccard "
             f"FROM read_parquet('{xxh['minhash_pairs']}')"
+        ),
+        # connected components over the thresholded near-dup pairs:
+        # component = min reachable doc_id, computed by a recursive CTE
+        # (UNION dedup = the same fixpoint the Spark min-label
+        # propagation iterates to); pairs come from the XXH64 sidecar
+        # that the minhash_lsh_dup_pairs oracle already validates
+        "neardup_components": (
+            f"""
+            WITH RECURSIVE
+            p AS (SELECT id1, id2 FROM read_parquet('{xxh['minhash_pairs']}')
+                  WHERE est_jaccard >= 0.5),
+            e AS (SELECT id1 AS src, id2 AS dst FROM p
+                  UNION ALL SELECT id2, id1 FROM p),
+            walk(v, comp) AS (
+              SELECT src, src FROM (SELECT DISTINCT src FROM e)
+              UNION
+              SELECT e.src, w.comp FROM e JOIN walk w ON e.dst = w.v
+            )
+            SELECT v AS doc_id, min(comp) AS component FROM walk GROUP BY v
+            """
         ),
         "lsh_ann_topk": (
             f"SELECT q, rank, n FROM read_parquet('{xxh['lsh_ann']}')"

@@ -36,6 +36,8 @@ __all__ = [
     "trigram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_dup_pairs",
+    "connected_components",
+    "neardup_components",
     "simhash64",
     "event_gaps",
     "event_rollup",
@@ -333,6 +335,73 @@ def minhash_lsh_dup_pairs(
         cand.join(s1, "id1").join(s2, "id2")
         .select("id1", "id2", match_frac.alias("est_jaccard"))
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    ``(v, component)`` where component = min vertex id reachable.
+
+    Each round joins the (undirected) edge list with the current
+    labels, takes the per-vertex neighborhood minimum, and stops at
+    the fixpoint — exact regardless of round count.  Rounds needed =
+    max component eccentricity; one shuffle per round (edge-label
+    join + groupBy vertex), labels are (id, id) pairs only, so state
+    never exceeds one row per vertex.  Near-dup graphs are star-like
+    (dups cluster around an original ⇒ diameter ~2), so this
+    terminates in 2-3 rounds; for adversarial long-chain graphs swap
+    in large-star/small-star (O(log n) rounds, same DataFrame ops).
+    Skewed hub vertices in the groupBy are AQE's to split."""
+    und = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    und = und.unionByName(
+        und.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct().cache()
+    labels = und.select(F.col("s").alias("v")).distinct().withColumn(
+        "comp", F.col("v")
+    ).cache()
+    for _ in range(max_iter):
+        nbr = (
+            und.join(labels, und.d == labels.v)
+            .groupBy("s").agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.alias("o")
+            .join(nbr, F.col("o.v") == nbr.s, "left")
+            .select(
+                F.col("o.v").alias("v"),
+                F.least(
+                    F.col("o.comp"), F.coalesce("nbr_comp", F.col("o.comp"))
+                ).alias("comp"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels
+
+
+def neardup_components(
+    spark: SparkSession, sf_dir: str, min_jaccard: float = 0.5
+) -> DataFrame:
+    """Near-dup cluster ids: MinHash-LSH candidate pairs thresholded at
+    ``min_jaccard``, then connected components — the step between pair
+    generation and "keep one doc per cluster" in a dedup pipeline.
+    Component id = min doc_id in the cluster (the canonical keeper)."""
+    pairs = minhash_lsh_dup_pairs(spark, sf_dir).filter(
+        F.col("est_jaccard") >= min_jaccard
+    )
+    comp = connected_components(pairs, src="id1", dst="id2")
+    return comp.select(F.col("v").alias("doc_id"), F.col("comp").alias("component"))
 
 
 def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:

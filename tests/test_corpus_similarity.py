@@ -192,3 +192,43 @@ def test_trigram_df_cap_keeps_pairs_linear(spark, tmp_path):
     assert out, "planted dups missing"
     for r in out:
         assert r.id2 - r.id1 == 1_000_000, (r.id1, r.id2)
+
+
+def test_connected_components_exact(spark):
+    """Chain, triangle, isolated pair, and a star: min-label propagation
+    reaches the exact per-component minimum."""
+    from qfilter.corpus import connected_components
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4), (4, 5),     # chain 1-5
+            (10, 11), (11, 12), (12, 10),       # triangle
+            (20, 21),                           # pair
+            (30, 31), (30, 32), (30, 33),       # star centered at 30
+        ],
+        ["src", "dst"],
+    )
+    got = {r.v: r.comp for r in connected_components(edges).collect()}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+            10: 10, 11: 10, 12: 10,
+            20: 20, 21: 20,
+            30: 30, 31: 30, 32: 30, 33: 30}
+    assert got == want
+
+
+def test_neardup_components_cover_pairs(spark):
+    """Every thresholded near-dup pair lands in one component, and the
+    component id is a member of the cluster."""
+    from qfilter.corpus import minhash_lsh_dup_pairs, neardup_components
+
+    comp = {r.doc_id: r.component for r in neardup_components(spark, SF).collect()}
+    pairs = (
+        minhash_lsh_dup_pairs(spark, SF)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .collect()
+    )
+    assert pairs and comp
+    for p in pairs:
+        assert comp[p.id1] == comp[p.id2]
+    members = set(comp)
+    assert all(c in members for c in comp.values())
