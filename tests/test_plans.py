@@ -105,3 +105,15 @@ def test_salted_agg_two_phases(spark, smoke_dir):
     n_aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
     assert n_aggs >= 4
     assert "_salt" in plan  # the salt actually reaches the exchange key
+
+
+def test_event_sessions_single_shuffle(spark):
+    """Sessionization must shuffle ONCE on user_id: both window passes
+    (lag, cumsum) and the final per-session agg reuse the same hash
+    partitioning, so exactly one Exchange appears in the plan."""
+    from qfilter.corpus import event_sessions
+
+    plan = _fmt(event_sessions(spark, SF))
+    n_exchanges = plan.count(") Exchange")
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}:\n{plan}"
+    assert "hashpartitioning(user_id" in plan
