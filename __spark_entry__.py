@@ -132,6 +132,15 @@ def _qf_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qf_neardup_winners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over the images table with a canonical winner
+    per cluster (LSH pairs -> connected components -> keep min id) —
+    the full 'keep one image per near-dup group' dedup step."""
+    from qfilter.dedup import neardup_cluster_winners
+
+    return neardup_cluster_winners(_fixture_images(spark), max_hamming=3)
+
+
 def _qf_dark_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qfilter.cascade import dark_flag, dark_reason
     from qfilter.features import with_image_features
@@ -522,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_category_counts": _qf_category_counts,
         "qf_dedup_winners": _qf_dedup_winners,
         "qf_neardup_pairs": _qf_neardup_pairs,
+        "qf_neardup_winners": _qf_neardup_winners,
         "qf_dark_rollup": _qf_dark_rollup,
         "qf_base_labels": _qf_base_labels,
         "qf_easyocr_labels": _qf_easyocr_labels,
@@ -1170,6 +1180,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
             FROM h a JOIN h b ON a.ph < b.ph
             WHERE bit_count(xor(a.ph, b.ph)) <= 3
+            """
+        ),
+        # near-dup clusters: recursive-CTE connected components over the
+        # same all-pairs hamming<=3 graph, isolated hashes their own
+        # cluster, winner = min image_id in the cluster
+        "qf_neardup_winners": (
+            f"""
+            WITH RECURSIVE
+            h AS (SELECT DISTINCT phash AS ph
+                  FROM read_parquet('{images_pq}')),
+            p AS (SELECT a.ph AS h1, b.ph AS h2 FROM h a JOIN h b ON a.ph < b.ph
+                  WHERE bit_count(xor(a.ph, b.ph)) <= 3),
+            e AS (SELECT h1 AS src, h2 AS dst FROM p
+                  UNION ALL SELECT h2, h1 FROM p),
+            walk(v, comp) AS (
+              SELECT src, src FROM (SELECT DISTINCT src FROM e)
+              UNION
+              SELECT e.src, w.comp FROM e JOIN walk w ON e.dst = w.v
+            ),
+            lab AS (SELECT v, min(comp) AS comp FROM walk GROUP BY v),
+            cl AS (SELECT h.ph, COALESCE(l.comp, h.ph) AS cluster
+                   FROM h LEFT JOIN lab l ON h.ph = l.v)
+            SELECT cl.cluster, min(i.image_id) AS winner_id,
+                   count(*) AS n_images,
+                   count(DISTINCT i.phash) AS n_hashes
+            FROM read_parquet('{images_pq}') i JOIN cl ON i.phash = cl.ph
+            GROUP BY cl.cluster
             """
         ),
         # mm_audio / mm_video: single-node numpy oracle over the same

@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["phash_winners", "dedup_by_phash", "neardup_phash_pairs"]
+__all__ = [
+    "phash_winners",
+    "dedup_by_phash",
+    "neardup_phash_pairs",
+    "neardup_cluster_winners",
+]
 
 
 def phash_winners(
@@ -108,3 +113,44 @@ def neardup_phash_pairs(
     )
     dist = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
     return pairs.withColumn("hamming", dist).filter(F.col("hamming") <= max_hamming)
+
+
+def neardup_cluster_winners(
+    df: DataFrame,
+    key: str = "phash",
+    id_col: str = "image_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup clusters with a canonical winner per cluster — the full
+    image-dedup step: banding-LSH pairs over DISTINCT hash values,
+    connected components over the hash graph (exact at hamming<=3 by
+    the pigeonhole bound), then one aggregate over the original rows.
+
+    Returns (cluster, winner_id, n_images, n_hashes) where cluster =
+    min phash in the component (isolated hashes are their own cluster)
+    and winner_id = min id in the cluster (the keeper).
+
+    Scale shape: components run on DISTINCT hashes (tiny vs the corpus;
+    the hot exact-dup bucket collapsed to one vertex first), and the
+    only corpus-sized op is the final groupBy(cluster) — whose hot
+    cluster skew is the same salted-agg problem `phash_winners` solves;
+    counts/min here are associative so AQE partial aggregation absorbs
+    it."""
+    from .corpus import connected_components
+
+    hashes = df.select(F.col(key).cast("long").alias("h")).distinct()
+    pairs = neardup_phash_pairs(hashes, key="h", max_hamming=max_hamming)
+    comp = connected_components(pairs, src="h1", dst="h2")
+    labeled = hashes.alias("hh").join(
+        comp, F.col("hh.h") == comp.v, "left"
+    ).select(F.col("hh.h").alias("h"), F.coalesce("comp", F.col("hh.h")).alias("cluster"))
+    return (
+        df.select(F.col(id_col), F.col(key).cast("long").alias("h"))
+        .join(labeled, "h")
+        .groupBy("cluster")
+        .agg(
+            F.min(id_col).alias("winner_id"),
+            F.count(F.lit(1)).alias("n_images"),
+            F.count_distinct(F.col("h")).alias("n_hashes"),
+        )
+    )
