@@ -53,35 +53,50 @@ def load_sample(n: int = 300):
     )
 
 
-def _worker(args):
-    cpu, rows, reps = args
-    os.sched_setaffinity(0, {cpu})
+def _one_pass(rows):
     from qfilter import codecs, imageops
     from qfilter.phash import average_hash
 
+    cnt = 0
+    for b, f, ww, hh in rows:
+        try:  # fixture plants corrupt error-channel rows by design
+            px = codecs.decode(b, f, int(ww), int(hh))
+            gray = imageops.grayscale(px)
+            feats = imageops.image_features(px, _gray=gray)
+            feats["phash64"] = average_hash(px, _gray=gray)
+        except Exception:  # noqa: BLE001
+            pass
+        cnt += 1
+    return cnt
+
+
+def _worker(cpu, rows, reps, q):
+    os.sched_setaffinity(0, {cpu})
+    _one_pass(rows)  # warm-up pass: imports, page-faults, numpy init — untimed
     t0 = time.time()
     cnt = 0
     for _ in range(reps):
-        for b, f, ww, hh in rows:
-            try:  # fixture plants corrupt error-channel rows by design
-                px = codecs.decode(b, f, int(ww), int(hh))
-                gray = imageops.grayscale(px)
-                feats = imageops.image_features(px, _gray=gray)
-                feats["phash64"] = average_hash(px, _gray=gray)
-            except Exception:  # noqa: BLE001
-                pass
-            cnt += 1
-    return cnt, time.time() - t0
+        cnt += _one_pass(rows)
+    q.put((cnt, time.time() - t0))
 
 
 def run_level(nproc: int, rows, reps: int) -> float:
-    """Aggregate rows/sec with `nproc` processes pinned to distinct cores.
-
-    Worker imports + warm-up happen before each worker's timer starts;
-    wall = max over workers, so stragglers count.
-    """
-    with mp.get_context("spawn").Pool(nproc) as pool:
-        res = pool.map(_worker, [(i, rows, reps) for i in range(nproc)])
+    """Aggregate rows/sec with `nproc` processes pinned 1:1 to cores
+    0..nproc-1 (explicit Process per core — a Pool could hand two tasks
+    to one worker and zero to another, halving that core's measured
+    throughput).  Each worker runs one untimed warm-up pass before its
+    timer; wall = max over workers, so stragglers count."""
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_worker, args=(i, rows, reps, q))
+        for i in range(nproc)
+    ]
+    for p in procs:
+        p.start()
+    res = [q.get() for _ in procs]
+    for p in procs:
+        p.join()
     total = sum(c for c, _ in res)
     wall = max(t for _, t in res)
     return total / wall

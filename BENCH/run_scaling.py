@@ -158,8 +158,9 @@ def main() -> None:
             for n, t in sorted(ceiling["rows_per_sec"].items(), key=lambda kv: int(kv[0]))
         )
         effs = ", ".join(f"{k}: {v}" for k, v in ceiling["efficiency_4x"].items())
+        gate_lo, gate_hi = pairs[0]
         ceiling_md = f"""
-## Hardware scaling ceiling (why the gate pair is 4 -> 16)
+## Hardware scaling ceiling (why the gate pair is {gate_lo} -> {gate_hi})
 
 `BENCH/hw_ceiling.py` runs the e2e hot-path kernels (decode -> pixel
 metrics -> pHash, pure numpy, NO Spark) in P pinned processes:
@@ -170,14 +171,14 @@ metrics -> pHash, pure numpy, NO Spark) in P pinned processes:
 
 4x-step efficiencies of the RAW KERNELS: {effs}.
 
-Per-process throughput is flat through 16 processes and collapses at
-32: beyond 16 cores this box's shared memory bandwidth — not the
-Spark plan — is the bottleneck, for ANY embarrassingly parallel
-workload.  A real 4N-executor cluster adds memory bandwidth with every
-node, so the single-box stand-in is only cluster-faithful while the
-box still scales linearly.  The gate pair (local[4] -> local[16])
-therefore sits inside that linear range; the 8 -> 32 pair is reported
-alongside for transparency and is bounded above by the kernel ceiling.
+Where per-process throughput stops being flat, the box's shared
+memory bandwidth — not the Spark plan — is the bottleneck, for ANY
+embarrassingly parallel workload.  A real 4N-executor cluster adds
+memory bandwidth with every node, so the single-box stand-in is only
+cluster-faithful while the box still scales linearly.  The gate pair
+(local[{gate_lo}] -> local[{gate_hi}]) must sit inside that linear
+range (per the probe table above); other pairs are reported alongside
+for transparency and are bounded above by the kernel ceiling.
 """
 
     md = f"""# BENCH/BASELINE.md — measured scaling (two-parallelism stand-in)
@@ -196,14 +197,17 @@ measured {gate_eff:.3f} on the gate pair ({pairs[0][0]} -> {pairs[0][1]} cores):
 * config: spark.sql.shuffle.partitions = 2x cores,
   spark.sql.execution.arrow.maxRecordsPerBatch = 64, AQE on, zstd parquet.
 {ceiling_md}"""
-    # preserve manually-maintained appendix sections (e.g. data-volume
-    # scaling) across re-runs
+    # preserve the manually-run appendix (data-volume scaling, owned by
+    # BENCH/run_volume.py) across re-runs; everything above it —
+    # including the hardware-ceiling section — is regenerated here, so
+    # splitting at the first "## " would re-append a stale copy of the
+    # ceiling section on every run
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     appendix = ""
     if os.path.exists(path):
         with open(path) as f:
             old = f.read()
-        idx = old.find("\n## ")
+        idx = old.find("\n## Data-volume scaling")
         if idx >= 0:
             appendix = old[idx:]
     with open(path, "w") as f:

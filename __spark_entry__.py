@@ -263,7 +263,8 @@ def _stream_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: availableNow drain of the events table
     through the watermarked tumbling-window agg (qfilter/streaming.py).
     Append mode emits exactly the windows finalized by the watermark
-    (win_end <= max(ts) - 2h); the batch SQL oracle replicates that
+    (win_end <= floor_ms(max(ts)) - 2h — Spark tracks the event-time
+    watermark in whole milliseconds); the batch SQL oracle replicates that
     cutoff, so this checks the streaming plan end-to-end."""
     import shutil
     import tempfile
@@ -299,7 +300,8 @@ def _stream_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming session windows (built-in session_window,
     watermark-bounded merging state) drained with availableNow.
     Append mode emits sessions finalized by the watermark
-    (session_end + 30min gap <= max(ts) - 2h); the batch SQL oracle
+    (session_end + 30min gap <= floor_ms(max(ts)) - 2h — Spark tracks
+    the event-time watermark in whole milliseconds); the batch SQL oracle
     replicates gap-cumsum sessionization plus that cutoff, so this
     checks the stateful streaming plan end-to-end."""
     import shutil
@@ -983,7 +985,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # stateful streaming sessions: same sessionization, restricted
         # to sessions finalized by the final watermark (session window
-        # end = last ts + 30 min gap; emitted when <= max(ts) - 2h)
+        # end = last ts + 30 min gap; emitted when <= ms-floored max(ts) - 2h)
         "stream_event_sessions": """
             WITH m AS (SELECT max(ts) AS mx FROM events),
             g AS (
@@ -1006,7 +1008,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM s, m
             GROUP BY user_id, session_idx, m.mx
-            HAVING max(ts) + INTERVAL '30 minutes' <= m.mx - INTERVAL '2 hours'
+            HAVING max(ts) + INTERVAL '30 minutes'
+                   <= date_trunc('milliseconds', m.mx) - INTERVAL '2 hours'
         """,
         "event_rollup": """
             SELECT event_type, count(*) AS n,
@@ -1016,7 +1019,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         # streaming windowed agg: append mode emits windows finalized
-        # by the watermark (win_end <= max(ts) - 2h); hour buckets are
+        # by the watermark (win_end <= ms-floored max(ts) - 2h); hour buckets are
         # epoch-aligned in both engines
         "stream_event_windows": """
             WITH m AS (SELECT max(ts) AS mx FROM events)
@@ -1026,7 +1029,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events, m
             GROUP BY 1, 2, 3, m.mx
-            HAVING win_end <= m.mx - INTERVAL '2 hours'
+            HAVING win_end <= date_trunc('milliseconds', m.mx) - INTERVAL '2 hours'
         """,
         "lineitem_rollup": """
             SELECT l_returnflag, l_linestatus,

@@ -345,8 +345,10 @@ def connected_components(
 
     Each round joins the (undirected) edge list with the current
     labels, takes the per-vertex neighborhood minimum, and stops at
-    the fixpoint — exact regardless of round count.  Rounds needed =
-    max component eccentricity; one shuffle per round (edge-label
+    the fixpoint; raises if the fixpoint is not reached within
+    ``max_iter`` rounds (never returns silently-unconverged labels).
+    Rounds needed = max component eccentricity from its min-id vertex
+    (<= diameter); one shuffle per round (edge-label
     join + groupBy vertex), labels are (id, id) pairs only, so state
     never exceeds one row per vertex.  Near-dup graphs are star-like
     (dups cluster around an original ⇒ diameter ~2), so this
@@ -395,9 +397,15 @@ def connected_components(
         )
         cur_sum = _sum(labels)
         if cur_sum == prev_sum:
-            break
+            return labels
         prev_sum = cur_sum
-    return labels
+    raise RuntimeError(
+        f"connected_components: no fixpoint within max_iter={max_iter} "
+        "rounds (a component's eccentricity exceeds the budget); raise "
+        "max_iter or use a large-star/small-star variant for long-chain "
+        "graphs — returning partial labels would silently mislabel "
+        "clusters"
+    )
 
 
 def neardup_components(

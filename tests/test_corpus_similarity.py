@@ -232,3 +232,18 @@ def test_neardup_components_cover_pairs(spark):
         assert comp[p.id1] == comp[p.id2]
     members = set(comp)
     assert all(c in members for c in comp.values())
+
+
+def test_connected_components_raises_on_iteration_budget(spark):
+    """A long chain that cannot converge within max_iter must raise —
+    silently returning partial labels would mislabel clusters."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["src", "dst"]
+    )
+    from qfilter.corpus import connected_components
+
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(chain, max_iter=3)
+    # and with budget it converges to one component
+    got = {r.v: r.comp for r in connected_components(chain, max_iter=40).collect()}
+    assert set(got.values()) == {0}

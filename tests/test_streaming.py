@@ -101,37 +101,23 @@ def test_event_sessions_stream_batch_parity(spark, tmp_path_factory):
         == 0
     )
 
-    # batch gap-cumsum sessionization over the same landing data
-    # (mirrors corpus.event_sessions, which reads {sf_dir}/events.parquet)
-    from pyspark.sql.window import Window
+    # batch sessionization via the SHIPPED op (gap-cumsum is invariant
+    # to file layout, so running it over the source dir covers the
+    # repartitioned landing copy row-for-row)
+    from qfilter.corpus import event_sessions
 
-    ev = spark.read.parquet(land)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.withColumn(
-        "gap_us",
-        F.expr(
-            "timestampdiff(MICROSECOND, lag(ts) OVER "
-            "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
-        ),
-    ).withColumn(
-        "new_sess",
-        (F.col("gap_us").isNull() | (F.col("gap_us") >= 1_800_000_000)).cast("int"),
-    )
-    sess = flagged.withColumn("session_idx", F.sum("new_sess").over(w))
-    bsess = sess.groupBy("user_id", "session_idx").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
-    )
+    bsess = event_sessions(spark, src, gap_minutes=30)
     # every emitted session matches a batch session exactly
     gsel = got.select("user_id", "session_start", "session_end", "n_events", "sum_value")
     bsel = bsess.select("user_id", "session_start", "session_end", "n_events", "sum_value")
     assert gsel.exceptAll(bsel).count() == 0
-    # emitted set = batch sessions finalized by the final watermark
-    mx = ev.agg(F.max("ts")).collect()[0][0]
+    # emitted set = batch sessions finalized by the final watermark;
+    # Spark tracks the event-time watermark in whole MILLISECONDS
+    # (max event time is floored to ms before subtracting the delay)
+    mx = spark.read.parquet(land).agg(F.max("ts")).collect()[0][0]
+    mx_ms = mx.replace(microsecond=(mx.microsecond // 1000) * 1000)
     fin = bsel.filter(
         F.col("session_end") + F.expr("INTERVAL 30 MINUTES")
-        <= F.lit(mx) - F.expr("INTERVAL 2 HOURS")
+        <= F.lit(mx_ms) - F.expr("INTERVAL 2 HOURS")
     )
     assert n_got == fin.count()
