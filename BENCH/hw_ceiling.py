@@ -86,6 +86,14 @@ def run_level(nproc: int, rows, reps: int) -> float:
     to one worker and zero to another, halving that core's measured
     throughput).  Each worker runs one untimed warm-up pass before its
     timer; wall = max over workers, so stragglers count."""
+    import queue as _queue
+
+    avail = os.cpu_count() or 1
+    if nproc > avail:
+        raise SystemExit(
+            f"hw_ceiling: {nproc} pinned processes requested but only "
+            f"{avail} cores exist — pass --procs with levels <= {avail}"
+        )
     ctx = mp.get_context("spawn")
     q = ctx.Queue()
     procs = [
@@ -94,9 +102,22 @@ def run_level(nproc: int, rows, reps: int) -> float:
     ]
     for p in procs:
         p.start()
-    res = [q.get() for _ in procs]
+    res = []
+    try:
+        for _ in procs:
+            # bounded wait so a crashed worker (import error, affinity
+            # failure) surfaces as an error instead of a silent hang
+            res.append(q.get(timeout=600))
+    except _queue.Empty:
+        pass
     for p in procs:
-        p.join()
+        p.join(timeout=30)
+    if len(res) != len(procs):
+        codes = [p.exitcode for p in procs]
+        raise RuntimeError(
+            f"hw_ceiling: only {len(res)}/{len(procs)} workers reported "
+            f"(exit codes {codes}) — a worker died or timed out"
+        )
     total = sum(c for c, _ in res)
     wall = max(t for _, t in res)
     return total / wall

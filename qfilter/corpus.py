@@ -346,7 +346,9 @@ def connected_components(
     Each round joins the (undirected) edge list with the current
     labels, takes the per-vertex neighborhood minimum, and stops at
     the fixpoint; raises if the fixpoint is not reached within
-    ``max_iter`` rounds (never returns silently-unconverged labels).
+    ``max_iter`` label-changing rounds (never returns silently
+    unconverged labels).  Ids may be any orderable type — integral
+    ids use a cheap checksum convergence test, others a diff join.
     Rounds needed = max component eccentricity from its min-id vertex
     (<= diameter); one shuffle per round (edge-label
     join + groupBy vertex), labels are (id, id) pairs only, so state
@@ -363,6 +365,10 @@ def connected_components(
     # constant ~1s/round after.  On a multi-executor cluster prefer
     # `sc.setCheckpointDir` + `.checkpoint()` (survives executor loss);
     # the iteration structure is identical.
+    # Checkpoint storage is MEMORY_AND_DISK: superseded rounds' blocks
+    # are reclaimed by the ContextCleaner as the Python refs drop (we
+    # del them promptly); worst-case residency is max_iter copies of
+    # the 2-column vertex table, which spills rather than OOMs.
     und = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     und = und.unionByName(
         und.select(F.col("d").alias("s"), F.col("s").alias("d"))
@@ -371,20 +377,30 @@ def connected_components(
         "comp", F.col("v")
     ).localCheckpoint(eager=True)
 
-    # convergence via a monotone checksum instead of a diff join: every
-    # vertex label only ever decreases (min-propagation), so the exact
-    # decimal sum of labels is strictly decreasing until the fixpoint —
-    # one scan of the checkpointed frame per round, no extra shuffles
-    def _sum(df: DataFrame):
+    # Convergence check, one scan of the checkpointed frame per round:
+    # for integral ids, a monotone checksum (labels only ever decrease
+    # under min-propagation, so the exact decimal sum strictly
+    # decreases until the fixpoint, and equal sums <=> no change); for
+    # any other id type, a type-agnostic diff-join count.
+    from pyspark.sql import types as T
+
+    integral = isinstance(
+        edges.schema[src].dataType, (T.IntegralType, T.DecimalType)
+    )
+
+    def _checksum(df: DataFrame):
         return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
 
-    prev_sum = _sum(labels)
-    for _ in range(max_iter):
+    prev_sum = _checksum(labels) if integral else None
+    # max_iter label-changing rounds + 1 confirming round: detecting
+    # the fixpoint costs one extra (unchanged) round, which must not
+    # eat into the propagation budget the docstring promises
+    for _ in range(max_iter + 1):
         nbr = (
             und.join(labels, und.d == labels.v)
             .groupBy("s").agg(F.min("comp").alias("nbr_comp"))
         )
-        labels = (
+        new_labels = (
             labels.alias("o")
             .join(nbr, F.col("o.v") == nbr.s, "left")
             .select(
@@ -395,10 +411,22 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = _sum(labels)
-        if cur_sum == prev_sum:
+        if integral:
+            cur_sum = _checksum(new_labels)
+            converged = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "v")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+                == 0
+            )
+        del labels
+        labels = new_labels
+        if converged:
             return labels
-        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components: no fixpoint within max_iter={max_iter} "
         "rounds (a component's eccentricity exceeds the budget); raise "

@@ -247,3 +247,15 @@ def test_connected_components_raises_on_iteration_budget(spark):
     # and with budget it converges to one component
     got = {r.v: r.comp for r in connected_components(chain, max_iter=40).collect()}
     assert set(got.values()) == {0}
+
+
+def test_connected_components_string_ids(spark):
+    """Non-integral vertex ids use the diff-join convergence path and
+    still reach the exact per-component lexicographic minimum."""
+    from qfilter.corpus import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("x", "y")], ["src", "dst"]
+    )
+    got = {r.v: r.comp for r in connected_components(edges).collect()}
+    assert got == {"b": "b", "c": "b", "d": "b", "x": "x", "y": "x"}
