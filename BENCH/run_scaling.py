@@ -142,10 +142,14 @@ def main() -> None:
     })
     with open(hist_path, "w") as f:
         json.dump(history, f, indent=1)
+    import statistics
+
     same_pair = sorted(
         h["efficiency"] for h in history if h["gate_pair"] == gate_pair_name
     )
-    gate_eff = same_pair[len(same_pair) // 2]
+    # true median (mean of the middle two for even counts) — the
+    # upper-middle element would bias the gate optimistic
+    gate_eff = round(statistics.median(same_pair), 3)
 
     ceiling = None
     cpath = os.path.join(REPO, "BENCH", "hw_ceiling.json")

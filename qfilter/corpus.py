@@ -384,8 +384,19 @@ def connected_components(
     # any other id type, a type-agnostic diff-join count.
     from pyspark.sql import types as T
 
-    integral = isinstance(
-        edges.schema[src].dataType, (T.IntegralType, T.DecimalType)
+    def _exact_summable(dt) -> bool:
+        # scale>0 decimals would round under cast("decimal(38,0)"),
+        # so a sub-granularity label change could leave the checksum
+        # unchanged and falsely declare convergence
+        if isinstance(dt, T.DecimalType):
+            return dt.scale == 0
+        return isinstance(dt, T.IntegralType)
+
+    # check BOTH endpoint columns: after the unionByName the label
+    # domain is src ∪ dst, and a non-integral dst (or a coercion to a
+    # wider type) must route through the diff-join path
+    integral = _exact_summable(edges.schema[src].dataType) and _exact_summable(
+        edges.schema[dst].dataType
     )
 
     def _checksum(df: DataFrame):
@@ -555,25 +566,38 @@ def event_sessions(
 
 
 def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2 (reference rotate_any_angle.py:96-104): weighted median as a
-    window op — sort by value, running weight, first value whose
-    cumulative weight reaches half the total.  Weights are small exact
-    integers (event_id % 10 + 1) so cumulative float64 sums are
-    order-independent and engine-exact."""
+    """W2 (reference rotate_any_angle.py:96-104): weighted median —
+    first value whose cumulative weight reaches half the group total.
+    Two-pass: per-(group, value) weight sums (full hash parallelism),
+    then the running-weight window over the distinct-value table only.
+    Weights are small exact integers (event_id % 10 + 1) so cumulative
+    float64 sums are order-independent and engine-exact."""
     from pyspark.sql.window import Window
 
     ev = load(spark, sf_dir, "events").withColumn(
         "wt", (F.col("event_id") % 10 + 1).cast("double")
     )
-    # default frame = RANGE UNBOUNDED PRECEDING..CURRENT ROW: peer rows
-    # (equal values) share the cumulative weight, same as ANSI SQL
+    # Two-pass exact form.  A window partitioned on event_type (~5
+    # distinct values) over the RAW table funnels every row into 5
+    # sort partitions — a single-task bottleneck at corpus scale.
+    # Pass 1 instead aggregates weight per (event_type, value): full
+    # hash parallelism, map-side combine, output cardinality = number
+    # of DISTINCT values per group (tiny vs the corpus).  Pass 2 runs
+    # the cumulative-weight window over that aggregated table only.
+    # Identical results to the one-window form: the RANGE-frame window
+    # already gave peer rows (equal values) the same cumulative
+    # weight, which is exactly the per-value sum; integer-valued
+    # float64 weights keep every sum order-independent and
+    # engine-exact.  tests/test_plans.py asserts the full-table sort
+    # is gone.
+    per_value = ev.groupBy("event_type", "value").agg(F.sum("wt").alias("w"))
     cum_w = Window.partitionBy("event_type").orderBy("value")
     tot_w = Window.partitionBy("event_type")
-    t = ev.select(
+    t = per_value.select(
         "event_type",
         "value",
-        F.sum("wt").over(cum_w).alias("cum"),
-        F.sum("wt").over(tot_w).alias("tot"),
+        F.sum("w").over(cum_w).alias("cum"),
+        F.sum("w").over(tot_w).alias("tot"),
     )
     return (
         t.filter(F.col("cum") >= F.col("tot") / 2.0)

@@ -175,12 +175,12 @@ SCRUB_SCHEMA = T.StructType(
 
 @F.pandas_udf(SCRUB_SCHEMA)
 def _scrub_udf(caption: pd.Series) -> pd.DataFrame:
-    scrub = default_bundle().scrub
-    rows = []
-    for cap in caption:
-        s, n_pii, n_tox = scrub.scrub(cap or "")
-        rows.append({"caption_scrubbed": s, "pii_hits": n_pii, "tox_hits": n_tox})
-    return pd.DataFrame(rows)
+    # whole-column Series.str path; the scalar ScrubBundle.scrub stays
+    # as the oracle twin (parity in tests/test_batch_text.py)
+    out, n_pii, n_tox = default_bundle().scrub.scrub_series(caption)
+    return pd.DataFrame(
+        {"caption_scrubbed": out, "pii_hits": n_pii, "tox_hits": n_tox}
+    )
 
 
 # ------------------------------------------------------------ stage API

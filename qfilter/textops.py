@@ -407,11 +407,38 @@ class ScrubBundle:
         )
 
     def scrub(self, text: str) -> tuple[str, int, int]:
-        """(scrubbed_text, n_pii_hits, n_tox_hits)."""
+        """(scrubbed_text, n_pii_hits, n_tox_hits).
+
+        Scalar path — kept as the independently-coded oracle twin of
+        :meth:`scrub_series` (the batched hot path), mirroring the
+        ``engine.ocr_features`` vs ``batch_text`` dual-implementation
+        pattern; parity is asserted in tests/test_batch_text.py."""
         if not text:
             return text, 0, 0
         out, n_pii = self._pii.subn(self.PII_TOKEN, text)
         out, n_tox = self._tox.subn(self.TOX_TOKEN, out)
+        return out, n_pii, n_tox
+
+    def scrub_series(self, texts):
+        """Vectorized scrub over a pandas Series of captions.
+
+        Same two-stage semantics as :meth:`scrub` (PII substitution
+        first, toxicity on the already-scrubbed text) but expressed as
+        whole-column ``Series.str`` ops — no per-row Python loop.
+        ``str.count`` counts non-overlapping matches exactly like
+        ``re.subn``'s replacement count.  Returns
+        ``(scrubbed: Series[str], pii_hits: Series[int32],
+        tox_hits: Series[int32])``; null captions scrub to the empty
+        string with zero hits (matching the UDF's historical
+        ``scrub(cap or "")`` semantics).
+        """
+        import pandas as pd
+
+        s = pd.Series(texts, dtype="object").fillna("")
+        n_pii = s.str.count(self._pii).astype("int32")
+        out = s.str.replace(self._pii, self.PII_TOKEN, regex=True)
+        n_tox = out.str.count(self._tox).astype("int32")
+        out = out.str.replace(self._tox, self.TOX_TOKEN, regex=True)
         return out, n_pii, n_tox
 
     def __getstate__(self):

@@ -136,3 +136,22 @@ def test_word_re_is_nonempty_tokens_only():
     # the per-unique-word cache assumes tokens are never empty strings
     assert _WORD_RE.findall("  a  bb  ") == ["a", "bb"]
     assert _WORD_RE.findall("") == []
+
+
+def test_scrub_series_matches_scalar_scrub():
+    """scrub_series (batched Series.str hot path) must be bit-identical
+    to ScrubBundle.scrub (the per-row oracle twin) on edge captions and
+    random text, including null handling (None -> "" with zero hits)."""
+    scrub = default_bundle().scrub
+    caps = EDGE_CAPTIONS + [
+        "mail me at first.last+x@sub.domain.org and 4111 1111 1111 1111",
+        "ssn 123-45-6789 ip 10.0.0.1 badword1 BADWORD1 BadWord1",
+        "<PII> already here +123456789012 slurword.",
+        "no hits at all, perfectly clean text",
+    ]
+    out, n_pii, n_tox = scrub.scrub_series(caps)
+    for i, cap in enumerate(caps):
+        s_ref, pii_ref, tox_ref = scrub.scrub(cap or "")
+        assert out.iloc[i] == s_ref, repr(cap)
+        assert int(n_pii.iloc[i]) == pii_ref, repr(cap)
+        assert int(n_tox.iloc[i]) == tox_ref, repr(cap)

@@ -114,6 +114,40 @@ def test_event_sessions_single_shuffle(spark):
     from qfilter.corpus import event_sessions
 
     plan = _fmt(event_sessions(spark, SF))
-    n_exchanges = plan.count(") Exchange")
+    # count actual Exchange NODE HEADERS — "(7) Exchange" at line start
+    # — rather than the literal ") Exchange" substring, which breaks if
+    # AQE renames the node (AQEShuffleRead) or explain renumbering puts
+    # ") Exchange" inside an Arguments line
+    import re
+
+    n_exchanges = len(
+        re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.MULTILINE)
+    )
     assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}:\n{plan}"
     assert "hashpartitioning(user_id" in plan
+
+
+def test_weighted_median_no_full_table_window_sort(spark):
+    """The cumulative-weight window must run over the per-(type, value)
+    aggregate, never over the raw events table: the plan's Sort for the
+    window has to sit ABOVE a HashAggregate on (event_type, value), so
+    only distinct values — not every event row — funnel into the
+    ~5 event_type sort partitions."""
+    from qfilter.corpus import weighted_median_value
+
+    plan = _fmt(weighted_median_value(spark, SF))
+    assert "Window" in plan
+    # pass-1 aggregate keyed on both columns exists
+    agg_keyed_on_value = any(
+        "event_type" in ln and "value" in ln
+        for ln in plan.splitlines()
+        if ln.startswith("Keys")
+    )
+    assert agg_keyed_on_value, plan
+    # and every Sort consumes the aggregated table, never raw events:
+    # a raw-table sort would list event_id/user_id/ts in its Input
+    import re
+
+    for m in re.finditer(r"^\(\d+\) Sort\n(Input[^\n]*)", plan, flags=re.MULTILINE):
+        inp = m.group(1)
+        assert "event_id" not in inp and "user_id" not in inp, plan
