@@ -4,7 +4,20 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 Headline = the BASELINE.json metric: end-to-end filter throughput
 (images/sec) over the deterministic `bench` fixture tier (decode ->
 image+caption features -> cascade -> scrub -> parquet sink), plus the
-corpus-scale operator suite at the given sf dir.
+corpus-scale operator suite at the given sf dir, plus the Structured
+Streaming ingest analogue (`stream_qfilter_e2e`).
+
+Measurement protocol (round-3 hardening):
+* EVERY query runs QFILTER_BENCH_RUNS (default 3) times; the reported
+  per-query number is the MEDIAN and all walls are in `walls` — the
+  r02 postmortem showed identical jobs swinging 2.3x on this shared
+  VM, so single-shot numbers can't resolve round-over-round changes.
+* Per-query executor metrics (bytes/records scanned, shuffled,
+  written, spilled) are captured as before/after deltas of the app
+  status store via the local REST API and reported in `metrics` —
+  plan regressions (a new shuffle, a lost pushdown) show up in these
+  even when wall time is noise.  Metrics are from the LAST run of
+  each query; the physical plan is identical across runs.
 
 The e2e stage is materialized with a parquet write — a count() would
 let Catalyst prune the feature UDFs away and time nothing.
@@ -18,6 +31,7 @@ import shutil
 import sys
 import tempfile
 import time
+import urllib.request
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 for p in (REPO, os.path.join(REPO, "tools")):
@@ -27,6 +41,13 @@ for p in (REPO, os.path.join(REPO, "tools")):
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_TIER = os.environ.get("QFILTER_BENCH_TIER", "bench")
+RUNS = int(os.environ.get("QFILTER_BENCH_RUNS", "3"))
+
+_METRIC_KEYS = (
+    "inputBytes", "inputRecords", "outputBytes", "outputRecords",
+    "shuffleReadBytes", "shuffleWriteBytes",
+    "memoryBytesSpilled", "diskBytesSpilled",
+)
 
 
 def _sf_value(sf_dir: str) -> float:
@@ -37,7 +58,62 @@ def _sf_value(sf_dir: str) -> float:
         return 0.0
 
 
-def run_suite(spark, sf_dir: str, tier: str) -> tuple[dict, int, float, list]:
+def _metrics_snapshot(spark) -> dict | None:
+    """Sum of executor metrics over all stages so far, via the app
+    status REST API (spark.ui.enabled must be true).  Deltas between
+    snapshots isolate one query's scan/shuffle/spill volume."""
+    url = spark.sparkContext.uiWebUrl
+    if not url:
+        return None
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{app_id}/stages", timeout=10
+        ) as r:
+            stages = json.loads(r.read())
+    except Exception:
+        return None
+    out = dict.fromkeys(_METRIC_KEYS, 0)
+    for s in stages:
+        for k in _METRIC_KEYS:
+            out[k] += int(s.get(k) or 0)
+    return out
+
+
+def _metrics_delta(before: dict | None, after: dict | None) -> dict | None:
+    if before is None or after is None:
+        return None
+    return {k: after[k] - before[k] for k in _METRIC_KEYS}
+
+
+def _median(walls: list[float]) -> float:
+    s = sorted(walls)
+    n = len(s)
+    mid = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+    return round(mid, 3)
+
+
+def _ensure_landing_dir(spark, tdir: str, n_files: int = 16) -> str:
+    """Multi-file copy of the tier's images table for the streaming
+    file source (the fixture is one parquet file -> one trigger);
+    built once, reused across bench runs (testdata_q is gitignored)."""
+    landing = os.path.join(tdir, "landing")
+    marker = os.path.join(landing, "_BENCH_LANDING_OK")
+    if os.path.exists(marker):
+        return landing
+    shutil.rmtree(landing, ignore_errors=True)
+    (
+        spark.read.parquet(os.path.join(tdir, "images.parquet"))
+        .repartition(n_files, "image_id")
+        .write.mode("overwrite")
+        .parquet(landing)
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return landing
+
+
+def run_suite(spark, sf_dir: str, tier: str):
     from make_fixtures import ensure_fixtures
 
     from qfilter import corpus, similarity
@@ -58,11 +134,23 @@ def run_suite(spark, sf_dir: str, tier: str) -> tuple[dict, int, float, list]:
     n_images = images.count()
 
     timings: dict[str, float] = {}
+    walls: dict[str, list[float]] = {}
+    metrics: dict[str, dict | None] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name, fn, runs: int = RUNS):
+        ws = []
+        before = after = None
+        for i in range(runs):
+            if i == runs - 1:
+                before = _metrics_snapshot(spark)
+            t0 = time.time()
+            fn()
+            ws.append(round(time.time() - t0, 3))
+            if i == runs - 1:
+                after = _metrics_snapshot(spark)
+        walls[name] = ws
+        timings[name] = _median(ws)
+        metrics[name] = _metrics_delta(before, after)
 
     sink = tempfile.mkdtemp(prefix="qfilter_bench_")
     try:
@@ -82,16 +170,7 @@ def run_suite(spark, sf_dir: str, tier: str) -> tuple[dict, int, float, list]:
         from pyspark.sql import functions as F
 
         e2e(images.filter(F.crc32(F.col("image_id")) % 59 == 0), "warmup")
-        # MEDIAN of 3 timed runs: single-shot e2e walls swing +/-40%
-        # in this sandbox (r01 single-shots: 23-45 s for the identical
-        # job), so one sample can't resolve round-over-round changes.
-        # All walls are reported (e2e_walls) for transparency.
-        e2e_walls = []
-        for _ in range(3):
-            t0 = time.time()
-            e2e(images, "labels")
-            e2e_walls.append(round(time.time() - t0, 3))
-        timings["qfilter_e2e"] = sorted(e2e_walls)[1]
+        timed("qfilter_e2e", lambda: e2e(images, "labels"))
 
         # BASELINE.md §3: the bench run itself must hit keep/drop
         # F1 >= 0.99 vs the single-node oracle on the same rows
@@ -111,6 +190,30 @@ def run_suite(spark, sf_dir: str, tier: str) -> tuple[dict, int, float, list]:
         )
         keep_f1 = 2 * cm.tp / max(2 * cm.tp + cm.fp + cm.fn, 1)
         assert keep_f1 >= 0.99, f"bench keep/drop F1 {keep_f1} < 0.99 gate"
+
+        # streaming ingest analogue of the e2e stage: drain the
+        # multi-file landing dir with availableNow, fresh checkpoint
+        # per run (a reused checkpoint would skip already-committed
+        # files and time an empty batch)
+        from qfilter.streaming import stream_quality_filter
+
+        landing = _ensure_landing_dir(spark, tdir)
+
+        def stream_e2e():
+            sdir = tempfile.mkdtemp(prefix="qfilter_stream_")
+            try:
+                q = stream_quality_filter(
+                    spark,
+                    landing,
+                    os.path.join(sdir, "out"),
+                    os.path.join(sdir, "ckpt"),
+                )
+                q.awaitTermination()
+            finally:
+                shutil.rmtree(sdir, ignore_errors=True)
+
+        timed("stream_qfilter_e2e", stream_e2e)
+
         timed("phash_dedup", lambda: phash_winners(images).count())
         timed("lineitem_rollup", lambda: corpus.lineitem_rollup(spark, sf_dir).count())
         timed("top_customers", lambda: corpus.top_customers(spark, sf_dir).count())
@@ -147,17 +250,31 @@ def run_suite(spark, sf_dir: str, tier: str) -> tuple[dict, int, float, list]:
             "neardup_components",
             lambda: corpus.neardup_components(spark, sf_dir).count(),
         )
+        timed(
+            "weighted_median",
+            lambda: corpus.weighted_median_value(spark, sf_dir).count(),
+        )
     finally:
         shutil.rmtree(sink, ignore_errors=True)
-    return timings, n_images, keep_f1, e2e_walls
+    return timings, walls, metrics, n_images, keep_f1
 
 
 def main() -> None:
     from qfilter.session import get_spark
 
-    spark = get_spark(app="qfilter-bench", master=f"local[{CPUS}]")
+    spark = get_spark(
+        app="qfilter-bench",
+        master=f"local[{CPUS}]",
+        # UI on for the status-store REST API (per-query metrics);
+        # retain enough stages that a snapshot never evicts mid-delta
+        extra={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "5000",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
-    timings, n_images, keep_f1, e2e_walls = run_suite(spark, SF_DIR, BENCH_TIER)
+    timings, walls, metrics, n_images, keep_f1 = run_suite(spark, SF_DIR, BENCH_TIER)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "qfilter bench suite wall time (e2e filter + operator suite)",
@@ -167,7 +284,11 @@ def main() -> None:
         "sf": _sf_value(SF_DIR),
         "images": n_images,
         "images_per_sec": round(n_images / timings["qfilter_e2e"], 1),
-        "e2e_walls": e2e_walls,
+        "stream_images_per_sec": round(n_images / timings["stream_qfilter_e2e"], 1),
+        "e2e_walls": walls["qfilter_e2e"],  # back-compat alias
+        "walls": walls,
+        "runs_per_query": RUNS,
+        "metrics": metrics,
         "keep_f1_vs_oracle": round(keep_f1, 6),
         "cpus": CPUS,
     }
