@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import codecs, imageops
+from .batch_image import image_features_batch
 from .batch_text import caption_features_frame
 from .phash import average_hash
 from .textops import default_bundle
@@ -76,10 +77,12 @@ _ZERO_IMAGE_FEATURES = {
 }
 
 
-@F.pandas_udf(IMAGE_FEATURES_SCHEMA)
-def _image_features_udf(
-    data: pd.Series, fmt: pd.Series, w: pd.Series, h: pd.Series
-) -> pd.DataFrame:
+def _image_features_rows(data, fmt, w, h) -> pd.DataFrame:
+    """Per-row scalar path — the independently-coded oracle twin of the
+    shape-batched hot path below (`batch_text` vs `engine` pattern;
+    bit-identity asserted in tests/test_batch_image.py) and the
+    fallback that preserves per-row error-channel semantics if a batch
+    kernel ever throws mid-stack."""
     rows = []
     for b, f, ww, hh in zip(data, fmt, w, h):
         try:
@@ -94,6 +97,40 @@ def _image_features_udf(
             feats["error"] = f"{type(exc).__name__}: {exc}"
         rows.append(feats)
     return pd.DataFrame(rows)
+
+
+@F.pandas_udf(IMAGE_FEATURES_SCHEMA)
+def _image_features_udf(
+    data: pd.Series, fmt: pd.Series, w: pd.Series, h: pd.Series
+) -> pd.DataFrame:
+    # decode per-row (variable-length bytes; the reference error
+    # channel lives here), then run all pixel kernels ONCE per
+    # (h, w) shape-group of the Arrow batch — see qfilter/batch_image.
+    n = len(data)
+    pxs, ok_idx, err_rows = [], [], {}
+    for i, (b, f, ww, hh) in enumerate(zip(data, fmt, w, h)):
+        try:
+            pxs.append(codecs.decode(b, f, int(ww), int(hh)))
+            ok_idx.append(i)
+        except Exception as exc:  # noqa: BLE001 — reference error channel
+            feats = dict(_ZERO_IMAGE_FEATURES)
+            feats["phash64"] = 0
+            feats["error"] = f"{type(exc).__name__}: {exc}"
+            err_rows[i] = feats
+    try:
+        ok_feats = image_features_batch(pxs)
+    except Exception:  # noqa: BLE001 — keep per-row error granularity
+        return _image_features_rows(data, fmt, w, h)
+    rows: list = [None] * n
+    for i, feats in zip(ok_idx, ok_feats):
+        feats["error"] = None
+        rows[i] = feats
+    for i, feats in err_rows.items():
+        rows[i] = feats
+    # fix the column order to the schema: the batch dicts insert keys
+    # in stage order, not schema order, and Spark maps struct fields
+    # positionally
+    return pd.DataFrame(rows)[[f.name for f in IMAGE_FEATURES_SCHEMA]]
 
 
 CAPTION_FEATURES_SCHEMA = T.StructType(

@@ -307,6 +307,42 @@ def connected_components(binary: np.ndarray):
     Returns a list of dicts: {area (pixel count), bbox (x1, y1, x2, y2
     exclusive), sum_x, sum_y, sxx, syy, sxy} — enough for bounding boxes
     and PCA orientation without storing pixel lists.
+    """
+    st = connected_component_stats(binary)
+    if st is None:
+        return []
+    return [
+        {
+            "area": int(st["area"][i]),
+            "bbox": (
+                int(st["x1"][i]), int(st["y1"][i]),
+                int(st["x2"][i]), int(st["y2"][i]),
+            ),
+            "x1": int(st["x1"][i]), "y1": int(st["y1"][i]),
+            "x2": int(st["x2"][i]), "y2": int(st["y2"][i]),
+            "sum_x": float(st["sum_x"][i]), "sum_y": float(st["sum_y"][i]),
+            "sxx": float(st["sxx"][i]), "syy": float(st["syy"][i]),
+            "sxy": float(st["sxy"][i]),
+        }
+        for i in range(len(st["area"]))
+    ]
+
+
+def connected_component_stats(binary: np.ndarray, band_h: int | None = None):
+    """Array-form component stats (the batched hot path consumes these
+    directly — no per-component dict building): dict of parallel numpy
+    arrays  area / x1 / y1 / x2 / y2 / sum_x / sum_y / sxx / syy / sxy
+    ordered by component root run index (the same order the dict list
+    has), or None for an empty mask.
+
+    ``band_h``: the mask is a vertical concatenation of independent
+    images of height band_h-1 separated by one blank row (the batch
+    path's many-images-one-CC trick).  Components then never span
+    bands; y statistics (y1/y2/sum_y/syy/sxy) are computed in
+    band-LOCAL coordinates (identical values to a per-image call —
+    the same runs contribute the same integer rows in the same
+    bincount order), and the result gains a ``band`` array mapping
+    each component to its image index, non-decreasing.
 
     Vectorized: all runs extracted in one diff pass; per-row overlap
     matching via searchsorted (runs within a row are sorted and
@@ -321,7 +357,7 @@ def connected_components(binary: np.ndarray):
     _, ex = np.nonzero(d == -1)    # run ends (exclusive), same order
     n_runs = len(sy)
     if n_runs == 0:
-        return []
+        return None
 
     # Vectorized overlap-pair generation: runs are row-major and sorted
     # within each row, so the global keys  row*W + start  /  row*W + end
@@ -362,6 +398,10 @@ def connected_components(binary: np.ndarray):
     uniq, inv = np.unique(roots, return_inverse=True)
     k = len(uniq)
 
+    if band_h is not None:
+        band_run = sy // band_h
+        sy = sy - band_run * band_h  # band-local rows for all y stats
+        band = band_run[uniq]
     sxf = sx.astype(np.float64)
     exf = ex.astype(np.float64)
     syf = sy.astype(np.float64)
@@ -387,17 +427,13 @@ def connected_components(binary: np.ndarray):
     np.minimum.at(y1, inv, sy)
     np.maximum.at(y2, inv, sy + 1)
 
-    return [
-        {
-            "area": int(area[i]),
-            "bbox": (int(x1[i]), int(y1[i]), int(x2[i]), int(y2[i])),
-            "x1": int(x1[i]), "y1": int(y1[i]),
-            "x2": int(x2[i]), "y2": int(y2[i]),
-            "sum_x": float(sum_x[i]), "sum_y": float(sum_y[i]),
-            "sxx": float(sxx[i]), "syy": float(syy[i]), "sxy": float(sxy[i]),
-        }
-        for i in range(k)
-    ]
+    out = {
+        "area": area, "x1": x1, "y1": y1, "x2": x2, "y2": y2,
+        "sum_x": sum_x, "sum_y": sum_y, "sxx": sxx, "syy": syy, "sxy": sxy,
+    }
+    if band_h is not None:
+        out["band"] = band
+    return out
 
 
 def _component_angle_deg(c: dict) -> float:
