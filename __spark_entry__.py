@@ -514,6 +514,83 @@ def _qf_model_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# qf_model_zoo summary expressions — IDENTICAL text runs in Spark and
+# DuckDB on exact BIGINT fold sums (s1 = sum acc_q9, s2 = sum acc_q9^2)
+_ZOO_MEAN_EXPR = "CAST(floor(CAST(s1 AS DOUBLE) / 5.0) AS BIGINT)"
+_ZOO_STD_EXPR = (
+    "CAST(floor(sqrt(greatest("
+    "CAST(s2 AS DOUBLE) / 5.0"
+    " - (CAST(s1 AS DOUBLE) / 5.0) * (CAST(s1 AS DOUBLE) / 5.0),"
+    " CAST(0 AS DOUBLE)))) AS BIGINT)"
+)
+
+
+def _qf_model_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference model zoo (tune_extended_classifier.py:134-238): the
+    reference trains several sklearn families (RF/GB/SVM) beside the
+    logistic pipeline with the same 5-fold CV and picks the winner by
+    mean accuracy (`:227-238` max_by).  Here: TWO from-scratch
+    deterministic families — the logistic regression and the
+    gradient-boosted-stumps ensemble (`qfilter.model.fit_gb_stumps`)
+    — identical folds, per-family mean/std accuracy (q9-quantized
+    exact integers), winner = rank 1 by (mean DESC, model ASC)."""
+    from pyspark.sql import Window
+
+    from qfilter.cascade import with_labels
+    from qfilter.features import with_all_features
+    from qfilter.model import (
+        CV_K,
+        TRAIN_SAMPLE_MAX,
+        cv_models_from_features,
+        gb_cv_models_from_features,
+        with_cv_scores,
+        with_gb_cv_scores,
+    )
+    from qfilter.tune import with_derived_features
+
+    feats = with_derived_features(
+        with_labels(with_all_features(_fixture_images(spark)))
+    ).filter(F.col("error").isNull())
+    lr_models = cv_models_from_features(feats)
+    gb_models = gb_cv_models_from_features(feats)
+    sample = (
+        feats.withColumn("rn", F.row_number().over(Window.orderBy("image_id")))
+        .filter(F.col("rn") <= TRAIN_SAMPLE_MAX)
+        .withColumn("fold", ((F.col("rn") - F.lit(1)) % F.lit(CV_K)).cast("int"))
+    )
+    scored = (
+        with_cv_scores(sample, lr_models)
+        .withColumn("model", F.lit("logreg"))
+        .select("model", "fold", "keep", "pred_keep")
+        .unionByName(
+            with_gb_cv_scores(sample, gb_models)
+            .withColumn("model", F.lit("gb_stumps"))
+            .select("model", "fold", "keep", "pred_keep")
+        )
+    )
+    per_fold = scored.groupBy("model", "fold").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum((F.col("pred_keep") == F.col("keep")).cast("long")).alias("n_correct"),
+    )
+    agg = (
+        per_fold.withColumn("acc_q9", F.expr(_CV_ACC_Q9_EXPR))
+        .groupBy("model")
+        .agg(
+            F.sum("acc_q9").alias("s1"),
+            F.sum(F.expr("acc_q9 * acc_q9")).alias("s2"),
+        )
+    )
+    win = Window.orderBy(F.desc("mean_acc_q9"), F.asc("model"))
+    return (
+        agg.select(
+            "model",
+            F.expr(_ZOO_MEAN_EXPR).alias("mean_acc_q9"),
+            F.expr(_ZOO_STD_EXPR).alias("std_acc_q9"),
+        )
+        .withColumn("is_winner", F.rank().over(win) == F.lit(1))
+    )
+
+
 def _qf_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 threshold grid-search argmax (tune:103-123 shape)."""
     from qfilter.features import with_all_features
@@ -542,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_grid_search": _qf_grid_search,
         "qf_model_infer": _qf_model_infer,
         "qf_model_cv": _qf_model_cv,
+        "qf_model_zoo": _qf_model_zoo,
         "qf_line_features": _qf_line_features,
         "qf_enhance_stats": _qf_enhance_stats,
         "qf_enhanced_bytes": _qf_enhanced_bytes,
@@ -627,6 +705,25 @@ def oracle_sql() -> dict[str, str]:
             _ze = f"({_ze} + CAST('{float(_wi)!r}' AS DOUBLE) * {_t})"
         _cv_cases.append(f"WHEN {_f} THEN {_ze}")
     cv_zcase = "CASE fold " + " ".join(_cv_cases) + " END"
+
+    # qf_model_zoo second family: per-fold GB-stump ensembles, each a
+    # left-to-right nested chain of CASE terms (identical accumulation
+    # order to qfilter.model.with_gb_cv_scores).
+    from make_oracle_sidecars import gb_cv_weights_from_labels_ref
+
+    _gb_cases = []
+    for _f, _m in enumerate(gb_cv_weights_from_labels_ref(fdir, k=_cvk)):
+        _ze = f"CAST('{float(_m['f0'])!r}' AS DOUBLE)"
+        for _k in range(len(_m["feat"])):
+            _t = _terms[int(_m["feat"][_k])]
+            _ze = (
+                f"({_ze} + CASE WHEN {_t} <= "
+                f"CAST('{float(_m['thr'][_k])!r}' AS DOUBLE) "
+                f"THEN CAST('{float(_m['val_l'][_k])!r}' AS DOUBLE) "
+                f"ELSE CAST('{float(_m['val_r'][_k])!r}' AS DOUBLE) END)"
+            )
+        _gb_cases.append(f"WHEN {_f} THEN {_ze}")
+    gb_zcase = "CASE fold " + " ".join(_gb_cases) + " END"
 
     dup_docs = (
         "SELECT doc_id, text, lang FROM documents "
@@ -874,6 +971,45 @@ def oracle_sql() -> dict[str, str]:
                    {_CV_MEAN_EXPR} AS mean_acc_q9,
                    {_CV_STD_EXPR} AS std_acc_q9
             FROM q
+            """
+        ),
+        "qf_model_zoo": (
+            f"""
+            WITH f AS (
+              SELECT *, row_number() OVER (ORDER BY image_id) AS rn
+              FROM read_parquet('{labels_ref}') WHERE error IS NULL
+            ), s AS (
+              SELECT *, CAST((rn - 1) % {_cvk} AS INT) AS fold
+              FROM f WHERE rn <= {_tsm}
+            ), scored AS (
+              SELECT 'logreg' AS model, fold, keep,
+                     ({cv_zcase}) > CAST(0 AS DOUBLE) AS pred_keep
+              FROM s
+              UNION ALL
+              SELECT 'gb_stumps' AS model, fold, keep,
+                     ({gb_zcase}) > CAST(0 AS DOUBLE) AS pred_keep
+              FROM s
+            ), pf AS (
+              SELECT model, fold, count(*) AS n_test,
+                     CAST(sum(CASE WHEN pred_keep = keep THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_correct
+              FROM scored GROUP BY model, fold
+            ), q AS (
+              SELECT model, {_CV_ACC_Q9_EXPR} AS acc_q9 FROM pf
+            ), agg AS (
+              SELECT model, CAST(sum(acc_q9) AS BIGINT) AS s1,
+                     CAST(sum(acc_q9 * acc_q9) AS BIGINT) AS s2
+              FROM q GROUP BY model
+            ), m AS (
+              SELECT model,
+                     {_ZOO_MEAN_EXPR} AS mean_acc_q9,
+                     {_ZOO_STD_EXPR} AS std_acc_q9
+              FROM agg
+            )
+            SELECT model, mean_acc_q9, std_acc_q9,
+                   rank() OVER (ORDER BY mean_acc_q9 DESC, model ASC) = 1
+                     AS is_winner
+            FROM m
             """
         ),
         "text_quality_stats": """

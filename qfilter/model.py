@@ -239,3 +239,227 @@ def with_model_scores(df: DataFrame, w: np.ndarray, b: float) -> DataFrame:
 
     out = df.withColumn("_m", score(*[F.col(f) for f in MODEL_FEATURES]))
     return out.select(*df.columns, "_m.*")
+
+
+# ------------------------------------------- model family 2: GB stumps
+#
+# The reference's model zoo trains RandomForest / GradientBoosting /
+# SVM variants next to the logistic pipeline and picks the best by CV
+# accuracy (tune_extended_classifier.py:134-238).  sklearn is not
+# available here, so the second family is a from-scratch deterministic
+# gradient-boosted-stumps classifier: logistic-loss boosting, each
+# round fitting a depth-1 tree (feature, threshold, two Newton-step
+# leaf values).  Bit-identity discipline matches fit_logreg: fixed
+# round count, no BLAS, all reductions are numpy sums over arrays in
+# original row order, ties broken by (feature index, threshold index),
+# and inference accumulates z = f0 + round_1 + round_2 + ... strictly
+# left-to-right so the oracle SQL's identically-nested CASE chain
+# produces bit-identical doubles.
+
+GB_ROUNDS = 12
+GB_LR = 0.5
+GB_MAX_CANDS = 32
+
+
+def _stump_candidates(col: np.ndarray) -> np.ndarray:
+    """Deterministic candidate thresholds: midpoints between sorted
+    unique values, thinned to <= GB_MAX_CANDS evenly by index."""
+    u = np.unique(col)
+    if len(u) < 2:
+        return np.empty(0)
+    mids = (u[:-1] + u[1:]) / 2.0
+    if len(mids) > GB_MAX_CANDS:
+        idx = (np.arange(GB_MAX_CANDS) * len(mids)) // GB_MAX_CANDS
+        mids = mids[idx]
+    return mids
+
+
+def fit_gb_stumps(
+    X: np.ndarray,
+    y: np.ndarray,
+    rounds: int = GB_ROUNDS,
+    lr: float = GB_LR,
+) -> dict:
+    """Gradient-boosted decision stumps for binary logistic loss.
+
+    Per round: residual r = y - p; split (j, t) maximizes the exact
+    variance-reduction score sum_L(r)^2/n_L + sum_R(r)^2/n_R; leaf
+    values are one Newton step sum(r)/sum(p(1-p)) clipped to +-4 (the
+    standard Friedman/LogitBoost guard against vanishing Hessians).
+    Returns {"f0", "feat", "thr", "val_l", "val_r"} with the learning
+    rate folded into the leaf values:
+    score(x) = f0 + sum_k (x[feat_k] <= thr_k ? val_l_k : val_r_k).
+    """
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n, d = X.shape
+    if n == 0:
+        raise ValueError("empty training set")
+    cands = [_stump_candidates(X[:, j]) for j in range(d)]
+    feat = np.zeros(rounds, dtype=np.int64)
+    thr = np.zeros(rounds, dtype=np.float64)
+    val_l = np.zeros(rounds, dtype=np.float64)
+    val_r = np.zeros(rounds, dtype=np.float64)
+    Fv = np.zeros(n, dtype=np.float64)
+    for k in range(rounds):
+        p = 1.0 / (1.0 + np.exp(-Fv))
+        r = y - p
+        h = p * (1.0 - p)
+        best = (-np.inf, 0, 0.0)
+        for j in range(d):
+            col = X[:, j]
+            for t in cands[j]:
+                m = col <= t
+                nl = int(m.sum())
+                if nl == 0 or nl == n:
+                    continue
+                sl = float(r[m].sum())
+                sr = float(r[~m].sum())
+                gain = sl * sl / nl + sr * sr / (n - nl)
+                if gain > best[0]:
+                    best = (gain, j, float(t))
+        _, j, t = best
+        m = X[:, j] <= t
+        hl = float(h[m].sum())
+        hr = float(h[~m].sum())
+        gl = float(np.clip(float(r[m].sum()) / max(hl, 1e-9), -4.0, 4.0))
+        gr = float(np.clip(float(r[~m].sum()) / max(hr, 1e-9), -4.0, 4.0))
+        feat[k] = j
+        thr[k] = t
+        val_l[k] = lr * gl
+        val_r[k] = lr * gr
+        Fv = Fv + np.where(m, val_l[k], val_r[k])
+    return {"f0": 0.0, "feat": feat, "thr": thr, "val_l": val_l, "val_r": val_r}
+
+
+def gb_train_from_features(
+    features: DataFrame,
+    label_col: str = "keep",
+    order_col: str = "image_id",
+    sample_max: int = TRAIN_SAMPLE_MAX,
+) -> dict:
+    """Same deterministic orderBy+limit driver sample as
+    `train_from_features`, GB-stumps fit."""
+    rows = (
+        features.select(order_col, label_col, *MODEL_FEATURES)
+        .orderBy(order_col)
+        .limit(sample_max)
+        .collect()
+    )
+    X = np.asarray([[float(r[f]) for f in MODEL_FEATURES] for r in rows])
+    y = np.asarray([1.0 if r[label_col] else 0.0 for r in rows])
+    return fit_gb_stumps(X, y)
+
+
+def gb_cv_models_from_features(
+    features: DataFrame,
+    k: int = CV_K,
+    label_col: str = "keep",
+    order_col: str = "image_id",
+    sample_max: int = TRAIN_SAMPLE_MAX,
+) -> list[dict]:
+    rows = (
+        features.select(order_col, label_col, *MODEL_FEATURES)
+        .orderBy(order_col)
+        .limit(sample_max)
+        .collect()
+    )
+    X = np.asarray([[float(r[f]) for f in MODEL_FEATURES] for r in rows])
+    y = np.asarray([1.0 if r[label_col] else 0.0 for r in rows])
+    folds = np.arange(len(rows)) % k
+    return [fit_gb_stumps(X[folds != f], y[folds != f]) for f in range(k)]
+
+
+def save_gb(path: str, model: dict) -> None:
+    """.npz artifact for the stump ensemble (same shape discipline as
+    `save_model`: arrays + feature list, no pickled code)."""
+    np.savez_compressed(
+        path,
+        f0=np.float64(model["f0"]),
+        feat=model["feat"].astype(np.int64),
+        thr=model["thr"].astype(np.float64),
+        val_l=model["val_l"].astype(np.float64),
+        val_r=model["val_r"].astype(np.float64),
+        features=np.array(MODEL_FEATURES),
+    )
+
+
+def load_gb(path: str) -> dict:
+    z = np.load(path, allow_pickle=False)
+    feats = [str(x) for x in z["features"]]
+    if feats != MODEL_FEATURES:
+        raise ValueError(f"artifact feature order {feats} != {MODEL_FEATURES}")
+    return {
+        "f0": float(z["f0"]),
+        "feat": z["feat"].astype(np.int64),
+        "thr": z["thr"].astype(np.float64),
+        "val_l": z["val_l"].astype(np.float64),
+        "val_r": z["val_r"].astype(np.float64),
+    }
+
+
+def with_gb_scores(df: DataFrame, model: dict) -> DataFrame:
+    """Broadcast the stump arrays, score in one Arrow-batched UDF.
+    z accumulates round-by-round left-to-right; the oracle SQL nests
+    the same CASE terms in the same order -> bit-identical doubles."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (
+            float(model["f0"]), model["feat"].astype(np.int64),
+            model["thr"].astype(np.float64),
+            model["val_l"].astype(np.float64),
+            model["val_r"].astype(np.float64),
+        )
+    )
+
+    @F.pandas_udf(_SCORE_SCHEMA)
+    def score(*cols: pd.Series) -> pd.DataFrame:
+        f0, feat, thr, vl, vr = bc.value
+        mats = [c.to_numpy(dtype=np.float64) for c in cols]
+        z = np.full(len(mats[0]), f0, dtype=np.float64)
+        for k in range(len(feat)):
+            z = z + np.where(mats[feat[k]] <= thr[k], vl[k], vr[k])
+        return pd.DataFrame({"score": z, "pred_keep": z > 0.0})
+
+    out = df.withColumn("_m", score(*[F.col(f) for f in MODEL_FEATURES]))
+    return out.select(*df.columns, "_m.*")
+
+
+def with_gb_cv_scores(
+    df: DataFrame, models: list[dict], fold_col: str = "fold"
+) -> DataFrame:
+    """Held-out stump-ensemble prediction (the GB analog of
+    `with_cv_scores`): each row scored by the model that did NOT train
+    on its fold, one broadcast of all k ensembles."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        [
+            (
+                float(m["f0"]), m["feat"].astype(np.int64),
+                m["thr"].astype(np.float64),
+                m["val_l"].astype(np.float64),
+                m["val_r"].astype(np.float64),
+            )
+            for m in models
+        ]
+    )
+
+    @F.pandas_udf(T.BooleanType())
+    def pred(fold: pd.Series, *cols: pd.Series) -> pd.Series:
+        ms = bc.value
+        fidx = fold.to_numpy(dtype=np.int64)
+        mats = [c.to_numpy(dtype=np.float64) for c in cols]
+        z = np.empty(len(fidx), dtype=np.float64)
+        for f, (f0, feat, thr, vl, vr) in enumerate(ms):
+            sel = fidx == f
+            if not sel.any():
+                continue
+            zz = np.full(int(sel.sum()), f0, dtype=np.float64)
+            for k in range(len(feat)):
+                zz = zz + np.where(mats[feat[k]][sel] <= thr[k], vl[k], vr[k])
+            z[sel] = zz
+        return pd.Series(z > 0.0)
+
+    return df.withColumn(
+        "pred_keep", pred(F.col(fold_col), *[F.col(f) for f in MODEL_FEATURES])
+    )

@@ -118,3 +118,84 @@ def test_cv_heldout_accuracy_reasonable(spark):
     std_acc = rows[0]["std_acc_q9"]
     assert mean_acc >= int(0.8e9)
     assert 0 <= std_acc <= int(0.2e9)
+
+
+def test_gb_spark_training_matches_labels_ref_training(spark):
+    """Second model family: the Spark-side GB-stumps sample training and
+    the single-node labels_ref retrain must produce bit-identical stump
+    arrays — the basis of the qf_model_zoo oracle."""
+    from make_fixtures import ensure_fixtures
+    from make_oracle_sidecars import gb_cv_weights_from_labels_ref
+
+    from qfilter.model import gb_cv_models_from_features
+
+    ms = gb_cv_models_from_features(_spark_features(spark))
+    mo = gb_cv_weights_from_labels_ref(ensure_fixtures("smoke"))
+    assert len(ms) == len(mo)
+    for a, b in zip(ms, mo):
+        assert a["f0"] == b["f0"]
+        assert np.array_equal(a["feat"], b["feat"])
+        assert np.array_equal(a["thr"], b["thr"])
+        assert np.array_equal(a["val_l"], b["val_l"])
+        assert np.array_equal(a["val_r"], b["val_r"])
+
+
+def test_gb_artifact_roundtrip_and_scores(tmp_path, spark):
+    from qfilter.model import (
+        MODEL_FEATURES,
+        fit_gb_stumps,
+        load_gb,
+        save_gb,
+        with_gb_scores,
+    )
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(300, len(MODEL_FEATURES)))
+    y = (X[:, 0] + 0.5 * X[:, 3] > 0).astype(np.float64)
+    m = fit_gb_stumps(X, y)
+    p = os.path.join(tmp_path, "gb.npz")
+    save_gb(p, m)
+    m2 = load_gb(p)
+    assert m2["f0"] == m["f0"]
+    for k in ("feat", "thr", "val_l", "val_r"):
+        assert np.array_equal(m2[k], m[k])
+
+    # accuracy on the training signal should be strong (separable-ish)
+    z = np.full(len(X), m["f0"])
+    for k in range(len(m["feat"])):
+        z = z + np.where(X[:, m["feat"][k]] <= m["thr"][k], m["val_l"][k], m["val_r"][k])
+    acc = float(((z > 0) == (y > 0.5)).mean())
+    assert acc > 0.9
+
+    # Spark batch inference matches the local accumulation bit-for-bit
+    import pandas as pd
+
+    pdf = pd.DataFrame(X, columns=MODEL_FEATURES)
+    df = spark.createDataFrame(pdf)
+    got = (
+        with_gb_scores(df, m2)
+        .select("score")
+        .toPandas()["score"]
+        .to_numpy()
+    )
+    # row order through Spark is not guaranteed; compare as multisets
+    assert sorted(map(float, got)) == sorted(map(float, z))
+
+
+def test_gb_beats_or_ties_logreg_on_nonlinear_signal():
+    """Sanity for the zoo: a threshold-shaped (non-linear) label rule is
+    learnable by stumps but not by a linear model."""
+    from qfilter.model import MODEL_FEATURES, fit_gb_stumps, fit_logreg
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(600, len(MODEL_FEATURES)))
+    y = ((np.abs(X[:, 0]) < 1.0)).astype(np.float64)  # band rule
+    gb = fit_gb_stumps(X, y)
+    z = np.full(len(X), gb["f0"])
+    for k in range(len(gb["feat"])):
+        z = z + np.where(X[:, gb["feat"][k]] <= gb["thr"][k], gb["val_l"][k], gb["val_r"][k])
+    acc_gb = float(((z > 0) == (y > 0.5)).mean())
+    w, b = fit_logreg(X, y)
+    zl = b + X @ w
+    acc_lr = float(((zl > 0) == (y > 0.5)).mean())
+    assert acc_gb > acc_lr + 0.1

@@ -487,7 +487,18 @@ def model_weights_from_labels_ref(fixture_dir: str) -> tuple:
     are bit-identical to the Spark-computed ones (hash-proven via
     qf_derived_features), the sort order matches orderBy(image_id),
     and fit_logreg is BLAS-free — so the weights are bit-identical."""
-    from qfilter.model import MODEL_FEATURES, TRAIN_SAMPLE_MAX, fit_logreg
+    from qfilter.model import fit_logreg
+
+    X, y = _labels_ref_Xy(fixture_dir)
+    return fit_logreg(X, y)
+
+
+def _labels_ref_Xy(fixture_dir: str):
+    """Shared sorted <=4096-row non-error sample with the derived
+    feature columns — the single source for every model-oracle
+    retrain below (bit-identical to the Spark-side sample: same rows,
+    same order, hash-proven feature doubles)."""
+    from qfilter.model import MODEL_FEATURES, TRAIN_SAMPLE_MAX
 
     df = (
         pq.read_table(os.path.join(fixture_dir, "labels_ref.parquet"))
@@ -504,7 +515,7 @@ def model_weights_from_labels_ref(fixture_dir: str) -> tuple:
     )
     X = df[MODEL_FEATURES].to_numpy(dtype=np.float64)
     y = df["keep"].to_numpy(dtype=np.float64)
-    return fit_logreg(X, y)
+    return X, y
 
 
 def model_cv_weights_from_labels_ref(fixture_dir: str, k: int = 5) -> list:
@@ -512,25 +523,23 @@ def model_cv_weights_from_labels_ref(fixture_dir: str, k: int = 5) -> list:
     sorted <=4096-row non-error sample, fold = position % k, model f
     trained on every other fold — bit-identical weights (same rows,
     same order, BLAS-free fit)."""
-    from qfilter.model import MODEL_FEATURES, TRAIN_SAMPLE_MAX, fit_logreg
+    from qfilter.model import fit_logreg
 
-    df = (
-        pq.read_table(os.path.join(fixture_dir, "labels_ref.parquet"))
-        .to_pandas()
-    )
-    df = df[df["error"].isnull()].sort_values("image_id").head(TRAIN_SAMPLE_MAX)
-    df = df.assign(
-        conf_range=df.mean_ocr_conf - df.median_ocr_conf,
-        blur_per_word=df.avg_blur / (df.words_count + 1.0),
-        density_per_conf=df.text_density * df.median_ocr_conf,
-        pct80_squared=df.pct80 * df.pct80,
-        line_height_cv=df.line_height_var / (df.line_height_med + 1.0),
-        line_spacing_cv=df.line_spacing_var / (df.line_spacing_med + 1.0),
-    )
-    X = df[MODEL_FEATURES].to_numpy(dtype=np.float64)
-    y = df["keep"].to_numpy(dtype=np.float64)
-    folds = np.arange(len(df)) % k
+    X, y = _labels_ref_Xy(fixture_dir)
+    folds = np.arange(len(X)) % k
     return [fit_logreg(X[folds != f], y[folds != f]) for f in range(k)]
+
+
+def gb_cv_weights_from_labels_ref(fixture_dir: str, k: int = 5) -> list:
+    """Oracle twin of qfilter.model.gb_cv_models_from_features (the
+    second model family, GB stumps) — same sample, same folds, same
+    deterministic trainer, so stump (feature, threshold, leaf-value)
+    arrays are bit-identical."""
+    from qfilter.model import fit_gb_stumps
+
+    X, y = _labels_ref_Xy(fixture_dir)
+    folds = np.arange(len(X)) % k
+    return [fit_gb_stumps(X[folds != f], y[folds != f]) for f in range(k)]
 
 
 _SELF_DEP = "tools/make_oracle_sidecars.py"
