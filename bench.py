@@ -93,12 +93,12 @@ def _median(walls: list[float]) -> float:
     return round(mid, 3)
 
 
-def _ensure_landing_dir(spark, tdir: str, n_files: int = 16) -> str:
+def _ensure_landing_dir(spark, tdir: str, n_files: int = 96) -> str:
     """Multi-file copy of the tier's images table for the streaming
     file source (the fixture is one parquet file -> one trigger);
     built once, reused across bench runs (testdata_q is gitignored)."""
     landing = os.path.join(tdir, "landing")
-    marker = os.path.join(landing, "_BENCH_LANDING_OK")
+    marker = os.path.join(landing, f"_BENCH_LANDING_OK_{n_files}")
     if os.path.exists(marker):
         return landing
     shutil.rmtree(landing, ignore_errors=True)
@@ -207,6 +207,9 @@ def run_suite(spark, sf_dir: str, tier: str):
                     landing,
                     os.path.join(sdir, "out"),
                     os.path.join(sdir, "ckpt"),
+                    # one task per file: keep each micro-batch as wide
+                    # as the executor (96 files / 32 -> 3 full waves)
+                    max_files_per_trigger=cpus,
                 )
                 q.awaitTermination()
             finally:

@@ -73,12 +73,17 @@ def stream_quality_filter(
     checkpoint_dir: str,
     available_now: bool = True,
     schema: T.StructType = IMAGES_SCHEMA,
+    max_files_per_trigger: int = 8,
 ):
     """Incremental quality filter over a landing directory of parquet
-    files.  Returns the StreamingQuery (await/stop is the caller's)."""
+    files.  Returns the StreamingQuery (await/stop is the caller's).
+
+    ``max_files_per_trigger`` bounds micro-batch size; a file-source
+    micro-batch parallelizes at one task per file, so keep it >= the
+    executor core count when draining a backlog with availableNow."""
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
     labeled = with_labels(with_all_features(stream)).select(*LABEL_OUT_COLS)
