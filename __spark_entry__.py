@@ -56,6 +56,7 @@ def _xxh_sidecars(sf_dir: str) -> dict[str, str]:
         ensure_sidecar_lsh_ann,
         ensure_sidecar_minhash_pairs,
         ensure_sidecar_orientation,
+        ensure_sidecar_polish,
         ensure_sidecar_simhash,
         ensure_sidecar_thumbs,
         ensure_sidecar_video,
@@ -73,6 +74,7 @@ def _xxh_sidecars(sf_dir: str) -> dict[str, str]:
         "enhance": ensure_sidecar_enhance(_fixture_dir()),
         "enhanced_bytes": ensure_sidecar_enhanced_bytes(_fixture_dir()),
         "orientation": ensure_sidecar_orientation(_fixture_dir()),
+        "polish": ensure_sidecar_polish(_fixture_dir()),
     }
 
 
@@ -591,6 +593,21 @@ def _qf_model_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qf_polish_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 full-polish chain (reference `document_lightener.py:77-95`:
+    CLAHE -> NL-means -> Canny-edge unsharp -> normalize -> NL-means),
+    from-scratch kernels in `qfilter/polish.py`.  Subset
+    crc32(image_id) % 5 == 0 — the oracle sidecar is built from the
+    independently-coded twin (`oracle.imageref.polish_stats_ref`,
+    ~0.8 s/image), so parity compares two implementations."""
+    from qfilter.polish import with_polish_stats
+
+    img = _fixture_images(spark).filter(F.crc32(F.col("image_id")) % 5 == 0)
+    return with_polish_stats(img).select(
+        "image_id", "polished_mean", "polished_std", "edge_frac"
+    )
+
+
 def _qf_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 threshold grid-search argmax (tune:103-123 shape)."""
     from qfilter.features import with_all_features
@@ -620,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_model_infer": _qf_model_infer,
         "qf_model_cv": _qf_model_cv,
         "qf_model_zoo": _qf_model_zoo,
+        "qf_polish_stats": _qf_polish_stats,
         "qf_line_features": _qf_line_features,
         "qf_enhance_stats": _qf_enhance_stats,
         "qf_enhanced_bytes": _qf_enhanced_bytes,
@@ -1390,6 +1408,10 @@ def oracle_sql() -> dict[str, str]:
         "qf_enhanced_bytes": (
             f"SELECT image_id, fmt, enhanced_md5 "
             f"FROM read_parquet('{xxh['enhanced_bytes']}')"
+        ),
+        "qf_polish_stats": (
+            f"SELECT image_id, polished_mean, polished_std, edge_frac "
+            f"FROM read_parquet('{xxh['polish']}')"
         ),
         "qf_orientation": (
             f"SELECT image_id, planted_deg, detected_deg, recovered "

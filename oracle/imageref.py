@@ -457,3 +457,198 @@ def orientation_ref(px: np.ndarray, image_id: str) -> dict:
         "detected_deg": 90 * detected,
         "recovered": (planted + detected) % 4 == 0,
     }
+
+
+# ------------------------------------------------- polish-chain twins
+#
+# Twins of qfilter/polish.py (CLAHE / Gaussian USM / Canny / NL-means
+# / full chain).  Same per-element float expressions and accumulation
+# orders; different machinery: flat-index LUT gathers, np.pad +
+# sliding-window patch sums, BFS hysteresis.
+
+def clahe_ref(gray: np.ndarray, clip: float = 2.0, tiles=(8, 8)) -> np.ndarray:
+    h, w = gray.shape
+    ty, tx = tiles
+    th = (h + ty - 1) // ty
+    tw = (w + tx - 1) // tx
+    luts = np.empty((ty * tx, 256), dtype=np.float64)
+    for i in range(ty):
+        for j in range(tx):
+            tile = gray[i * th : min((i + 1) * th, h), j * tw : min((j + 1) * tw, w)]
+            n = tile.size
+            hist = np.bincount(tile.reshape(-1), minlength=256)
+            limit = max(1, int(clip * n / 256.0))
+            excess = int(np.maximum(hist - limit, 0).sum())
+            hist = np.minimum(hist, limit)
+            hist = hist + excess // 256
+            rem = excess % 256
+            if rem:
+                hist[:rem] += 1
+            cdf = np.cumsum(hist)
+            cdfmin = cdf[np.nonzero(cdf)[0][0]] if cdf[-1] else 0
+            denom = max(int(cdf[-1]) - int(cdfmin), 1)
+            luts[i * tx + j] = np.clip(
+                np.round((cdf - cdfmin) * (255.0 / denom)), 0, 255
+            )
+    yy = np.arange(h, dtype=np.float64)
+    xx = np.arange(w, dtype=np.float64)
+    fy = (yy - (th - 1) / 2.0) / th
+    fx = (xx - (tw - 1) / 2.0) / tw
+    i0 = np.clip(np.floor(fy).astype(np.int64), 0, ty - 1)
+    j0 = np.clip(np.floor(fx).astype(np.int64), 0, tx - 1)
+    i1 = np.minimum(i0 + 1, ty - 1)
+    j1 = np.minimum(j0 + 1, tx - 1)
+    wy = np.clip(fy - np.floor(fy), 0.0, 1.0)
+    wx = np.clip(fx - np.floor(fx), 0.0, 1.0)
+    wy = np.where(fy < 0, 0.0, wy)
+    wy = np.where(fy > ty - 1, 0.0, wy)
+    wx = np.where(fx < 0, 0.0, wx)
+    wx = np.where(fx > tx - 1, 0.0, wx)
+    g = gray.astype(np.int64)
+    flat = luts.reshape(-1)
+    # flattened-index gathers instead of 3-D fancy indexing
+    def _gather(iy, jx):
+        idx = (iy[:, None] * tx + jx[None, :]) * 256 + g
+        return flat[idx]
+
+    WY = wy[:, None]
+    WX = wx[None, :]
+    out = (
+        _gather(i0, j0) * (1.0 - WY) * (1.0 - WX)
+        + _gather(i0, j1) * (1.0 - WY) * WX
+        + _gather(i1, j0) * WY * (1.0 - WX)
+        + _gather(i1, j1) * WY * WX
+    )
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def gaussian_blur_sigma_ref(gray: np.ndarray, sigma: float) -> np.ndarray:
+    r = int(np.ceil(3.0 * sigma))
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    k = k / k.sum()
+    h, w = gray.shape
+    p = np.pad(gray.astype(np.float64), ((r, r), (0, 0)), mode="edge")
+    v = np.zeros((h, w), dtype=np.float64)
+    for i, kv in enumerate(k):
+        v += kv * p[i : i + h, :]
+    p = np.pad(v, ((0, 0), (r, r)), mode="edge")
+    o = np.zeros((h, w), dtype=np.float64)
+    for i, kv in enumerate(k):
+        o += kv * p[:, i : i + w]
+    return o
+
+
+def unsharp_ref(gray: np.ndarray, sigma: float, amount: float) -> np.ndarray:
+    blur = gaussian_blur_sigma_ref(gray, sigma)
+    out = gray.astype(np.float64) * (1.0 + amount) - blur * amount
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def canny_ref(gray: np.ndarray, low: int, high: int) -> np.ndarray:
+    """Integer Sobel + L1 magnitude + sector NMS, hysteresis by BFS
+    flood from strong pixels (deque) instead of iterative dilation."""
+    h, w = gray.shape
+    if h < 3 or w < 3:
+        return np.zeros((h, w), dtype=np.uint8)
+    g = gray.astype(np.int64)
+    p = np.pad(g, 1, mode="edge")
+    gx = (
+        p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:]
+        - p[:-2, :-2] - 2 * p[1:-1, :-2] - p[2:, :-2]
+    )
+    gy = (
+        p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:]
+        - p[:-2, :-2] - 2 * p[:-2, 1:-1] - p[:-2, 2:]
+    )
+    mag = np.abs(gx) + np.abs(gy)
+    ax, ay = np.abs(gx), np.abs(gy)
+    TAN22, TAN67 = 13573, 79109
+    diag = (ay << 15) > TAN22 * ax
+    vert = (ay << 15) > TAN67 * ax
+    same_sign = (gx >= 0) == (gy >= 0)
+    sector = np.where(~diag, 0, np.where(vert, 2, np.where(same_sign, 3, 1)))
+    pm = np.pad(mag, 1, mode="edge")
+    off = {0: ((0, 1), (0, -1)), 1: ((-1, 1), (1, -1)),
+           2: ((-1, 0), (1, 0)), 3: ((-1, -1), (1, 1))}
+    keep = np.zeros((h, w), dtype=bool)
+    for s, ((dy1, dx1), (dy2, dx2)) in off.items():
+        n1 = pm[1 + dy1 : 1 + dy1 + h, 1 + dx1 : 1 + dx1 + w]
+        n2 = pm[1 + dy2 : 1 + dy2 + h, 1 + dx2 : 1 + dx2 + w]
+        keep |= (sector == s) & (mag >= n1) & (mag > n2)
+    strong = keep & (mag > high)
+    weak = keep & (mag > low) & ~strong
+    out = strong.copy()
+    from collections import deque
+
+    q = deque(zip(*np.nonzero(strong)))
+    while q:
+        y, x = q.popleft()
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                ny, nx = y + dy, x + dx
+                if 0 <= ny < h and 0 <= nx < w and weak[ny, nx] and not out[ny, nx]:
+                    out[ny, nx] = True
+                    q.append((ny, nx))
+    return out.astype(np.uint8) * 255
+
+
+def nl_means_ref(gray: np.ndarray, h_param: float, template: int = 7, search: int = 11) -> np.ndarray:
+    """Same (dy, dx) accumulation order; patch distances via
+    sliding-window sums over np.pad (exact int32, order-free)."""
+    h, w = gray.shape
+    r = search // 2
+    t = template // 2
+    g = gray.astype(np.int32)
+    gf = gray.astype(np.float64)
+    h2n = float(h_param) * float(h_param) * float(template * template)
+    num = gf.copy()
+    den = np.ones((h, w), dtype=np.float64)
+    pg = np.pad(g, r + t, mode="edge")
+    pf = np.pad(gf, r, mode="edge")
+    ct = pg[r : r + h + 2 * t, r : r + w + 2 * t]
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            if dy == 0 and dx == 0:
+                continue
+            sh = pg[r + dy : r + dy + h + 2 * t, r + dx : r + dx + w + 2 * t]
+            d = ct - sh
+            d2 = (d * d).astype(np.int32)
+            win = np.lib.stride_tricks.sliding_window_view(d2, (template, template))
+            s = win.sum(axis=(2, 3), dtype=np.int32)[:h, :w]
+            wgt = np.exp(-(s.astype(np.float64)) / h2n)
+            num += wgt * pf[r + dy : r + dy + h, r + dx : r + dx + w]
+            den += wgt
+    return np.clip(np.round(num / den), 0, 255).astype(np.uint8)
+
+
+def lighten_full_ref(px: np.ndarray, search: int = 11) -> np.ndarray:
+    lum = grayscale_ref(px)
+    k = max(15, (min(lum.shape) // 8) | 1)
+    bg = box_filter_ref(lum, k).astype(np.float64)
+    flat = np.clip(
+        np.round(255.0 * lum.astype(np.float64) / np.maximum(bg, 1.0)), 0, 255
+    ).astype(np.uint8)
+    eq = clahe_ref(flat, clip=2.0, tiles=(8, 8))
+    den = nl_means_ref(eq, h_param=6.0, template=7, search=search)
+    usm = unsharp_ref(den, sigma=1.0, amount=1.4)
+    edges = canny_ref(den, 50, 150)
+    em = dilate_ref(edges, 3, 3) != 0
+    out = np.where(em, usm, den)
+    lo, hi = int(out.min()), int(out.max())
+    if hi > lo:
+        out = np.clip(
+            np.round((out.astype(np.float64) - lo) * (255.0 / (hi - lo))), 0, 255
+        ).astype(np.uint8)
+    out = nl_means_ref(out, h_param=4.0, template=7, search=search)
+    return np.repeat(out[..., None], 3, axis=2)
+
+
+def polish_stats_ref(px: np.ndarray) -> dict:
+    lum = grayscale_ref(lighten_full_ref(px))
+    edges = canny_ref(lum, 50, 150)
+    return {
+        "polished_mean": float(lum.mean(dtype=np.float64)),
+        "polished_std": float(lum.std()),
+        "edge_frac": float(np.count_nonzero(edges)) / float(edges.size),
+    }

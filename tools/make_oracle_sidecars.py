@@ -424,6 +424,47 @@ def build_enhanced_bytes(fixture_dir: str) -> str:
     return path
 
 
+def build_polish(fixture_dir: str) -> str:
+    """Single-node oracle for `qf_polish_stats` — built from the
+    INDEPENDENTLY-CODED twin (`oracle.imageref.polish_stats_ref`, not
+    the production `qfilter.polish` kernels), so the driver parity
+    compares two implementations end to end.  Subset crc32 % 5 == 0:
+    the twin is deliberately slow machinery (~0.8 s/image)."""
+    import zlib
+
+    from oracle.imageref import polish_stats_ref
+    from qfilter import codecs
+
+    tbl = pq.read_table(
+        os.path.join(fixture_dir, "images.parquet"),
+        columns=["image_id", "bytes", "fmt", "w", "h"],
+    ).to_pylist()
+    cols = ["polished_mean", "polished_std", "edge_frac"]
+    rows = {"image_id": [], **{c: [] for c in cols}}
+    for r in tbl:
+        if zlib.crc32(r["image_id"].encode("utf-8")) % 5 != 0:
+            continue
+        try:
+            px = codecs.decode(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
+            s = polish_stats_ref(px)
+        except Exception:  # noqa: BLE001
+            s = {c: None for c in cols}
+        rows["image_id"].append(r["image_id"])
+        for c in cols:
+            rows[c].append(s[c])
+    os.makedirs(OUT_DIR, exist_ok=True)
+    tier = os.path.basename(os.path.normpath(fixture_dir))
+    path = os.path.join(OUT_DIR, f"polish_{tier}.parquet")
+    pq.write_table(
+        pa.table(rows, schema=pa.schema([
+            ("image_id", pa.string()),
+            *[(c, pa.float64()) for c in cols],
+        ])),
+        path,
+    )
+    return path
+
+
 def build_ivf_ann(sf_dir: str, k: int = 5) -> str:
     """Replicates similarity.ivf_ann_topk single-node: same sorted
     sample matrix -> same deterministic k-means centroids -> same
@@ -589,6 +630,15 @@ def ensure_sidecar_lines(fixture_dir: str) -> str:
     tier = os.path.basename(os.path.normpath(fixture_dir))
     return _ensure(os.path.join(OUT_DIR, f"lines_{tier}.parquet"),
                    build_lines, fixture_dir, deps=_IMG_DEPS)
+
+
+def ensure_sidecar_polish(fixture_dir: str) -> str:
+    tier = os.path.basename(os.path.normpath(fixture_dir))
+    return _ensure(
+        os.path.join(OUT_DIR, f"polish_{tier}.parquet"),
+        build_polish, fixture_dir,
+        deps=("qfilter/polish.py", "oracle/imageref.py", *_IMG_DEPS),
+    )
 
 
 def ensure_sidecar_enhance(fixture_dir: str) -> str:
