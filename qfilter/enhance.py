@@ -134,9 +134,23 @@ def detect_lines(
 
 
 def remove_lines(
-    px: np.ndarray, min_len_ratio: float = 0.5, line_thickness: int = 3
+    px: np.ndarray,
+    min_len_ratio: float = 0.5,
+    line_thickness: int = 3,
+    fill: str = "paper",
 ) -> np.ndarray:
-    """P14: erase detected line pixels, filling with local paper color."""
+    """P14: erase detected line pixels.
+
+    ``fill`` picks the reconstruction:
+    * ``"paper"`` (default) — local-background weighted-mean fill
+      (rounds 1-2's documented stand-in; fully vectorized, the e2e
+      path's choice);
+    * ``"telea"`` — the reference's actual algorithm
+      (`line_cleaner.py:84` cv2.INPAINT_TELEA), from-scratch
+      fast-marching `telea_inpaint`.  Slower (per-masked-pixel heap)
+      but boundary-aware; pixel outputs differ from "paper" by
+      design, decision path (ink fraction) unaffected either way.
+    """
     gray = grayscale(px)
     h, w = gray.shape
     binv = _otsu_inv(gray)
@@ -155,6 +169,10 @@ def remove_lines(
         mask[:, w - band :] = 255
     mask = dilate(mask, line_thickness, line_thickness) != 0
 
+    if fill == "telea":
+        return telea_inpaint(px, mask.astype(np.uint8) * 255, radius=3)
+    if fill != "paper":
+        raise ValueError(f"unknown fill {fill!r}")
     out = px.copy()
     # paper estimate: large box blur of unmasked pixels (weighted mean)
     keep = (~mask).astype(np.float64)
@@ -649,3 +667,124 @@ def with_enhanced_bytes(df):
         "enhanced", enh(F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h"))
     )
     return out.select(*df.columns, "enhanced")
+
+
+def telea_inpaint(px: np.ndarray, mask: np.ndarray, radius: int = 3) -> np.ndarray:
+    """P14 fill, Telea fast-marching inpaint (from scratch).
+
+    The reference erases detected lines with `cv2.inpaint(...,
+    INPAINT_TELEA)` (`line_cleaner.py:84`); rounds 1-2 substituted a
+    local-background paper fill (documented deviation).  This is the
+    actual Telea FMM algorithm: masked pixels are filled in order of
+    increasing eikonal distance T from the known boundary (|grad T| =
+    1, quadratic neighbor solve), each estimated as a weighted average
+    of already-known pixels within ``radius`` — weight = direction
+    factor (alignment of the offset with grad T) x geometric distance
+    factor (1/|r|^2) x level factor (1/(1 + |T_n - T_p|)).  Telea's
+    optional image-gradient term is omitted (the common
+    simplification; documented).
+
+    Deterministic: the heap orders by (T, insertion counter); all
+    arithmetic is straight float64.  Complexity O(M log M + M r^2)
+    for M masked pixels — the line masks this fills are a few percent
+    of the page.
+    """
+    import heapq
+
+    h, w = mask.shape
+    m = mask != 0
+    out = px.astype(np.float64).copy()
+    if not m.any():
+        return px.copy()
+    KNOWN, BAND, INSIDE = 0, 1, 2
+    flags = np.where(m, INSIDE, KNOWN).astype(np.int8)
+    T = np.where(m, 1e6, 0.0)
+    # initial band: known 4-neighbors of the mask
+    band_mask = np.zeros((h, w), dtype=bool)
+    pm = np.zeros((h + 2, w + 2), dtype=bool)
+    pm[1:-1, 1:-1] = m
+    nb = pm[:-2, 1:-1] | pm[2:, 1:-1] | pm[1:-1, :-2] | pm[1:-1, 2:]
+    band_mask = nb & ~m
+    heap: list = []
+    counter = 0
+    for y, x in zip(*np.nonzero(band_mask)):
+        flags[y, x] = BAND
+        heapq.heappush(heap, (0.0, counter, int(y), int(x)))
+        counter += 1
+
+    def _solve(y1, x1, y2, x2) -> float:
+        ok1 = 0 <= y1 < h and 0 <= x1 < w and flags[y1, x1] == KNOWN
+        ok2 = 0 <= y2 < h and 0 <= x2 < w and flags[y2, x2] == KNOWN
+        if ok1 and ok2:
+            t1, t2 = T[y1, x1], T[y2, x2]
+            d = 2.0 - (t1 - t2) * (t1 - t2)
+            if d > 0.0:
+                r = np.sqrt(d)
+                s = (t1 + t2 + r) / 2.0
+                if s >= t1 and s >= t2:
+                    return s
+                s += r
+                if s >= t1 and s >= t2:
+                    return s
+            return 1e6
+        if ok1:
+            return T[y1, x1] + 1.0
+        if ok2:
+            return T[y2, x2] + 1.0
+        return 1e6
+
+    def _inpaint_pixel(y, x):
+        gy = T[min(y + 1, h - 1), x] - T[max(y - 1, 0), x]
+        gx = T[y, min(x + 1, w - 1)] - T[y, max(x - 1, 0)]
+        num = np.zeros(out.shape[2] if out.ndim == 3 else 1)
+        den = 0.0
+        for ny in range(max(0, y - radius), min(h, y + radius + 1)):
+            for nx in range(max(0, x - radius), min(w, x + radius + 1)):
+                if flags[ny, nx] != KNOWN:
+                    continue
+                ry, rx = y - ny, x - nx
+                r2 = ry * ry + rx * rx
+                if r2 == 0 or r2 > radius * radius:
+                    continue
+                rlen = np.sqrt(r2)
+                dir_f = abs(ry * gy + rx * gx) / rlen
+                if dir_f <= 1e-6:
+                    dir_f = 1e-6
+                dst_f = 1.0 / r2
+                lev_f = 1.0 / (1.0 + abs(T[ny, nx] - T[y, x]))
+                wgt = dir_f * dst_f * lev_f
+                num += wgt * (out[ny, nx] if out.ndim == 3 else out[ny, nx : nx + 1])
+                den += wgt
+        if den > 0:
+            if out.ndim == 3:
+                out[y, x] = num / den
+            else:
+                out[y, x] = (num / den)[0]
+
+    while heap:
+        t, _, y, x = heapq.heappop(heap)
+        if flags[y, x] == KNOWN:
+            continue
+        flags[y, x] = KNOWN
+        T[y, x] = t
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            ny, nx = y + dy, x + dx
+            if not (0 <= ny < h and 0 <= nx < w):
+                continue
+            if flags[ny, nx] == KNOWN:
+                continue
+            if flags[ny, nx] == INSIDE:
+                _inpaint_pixel(ny, nx)
+            tn = min(
+                _solve(ny - 1, nx, ny, nx - 1),
+                _solve(ny + 1, nx, ny, nx - 1),
+                _solve(ny - 1, nx, ny, nx + 1),
+                _solve(ny + 1, nx, ny, nx + 1),
+            )
+            if tn < T[ny, nx]:
+                T[ny, nx] = tn
+            flags[ny, nx] = BAND
+            heapq.heappush(heap, (float(T[ny, nx]), counter, ny, nx))
+            counter += 1
+
+    return np.clip(np.round(out), 0, 255).astype(px.dtype)

@@ -259,3 +259,48 @@ def test_orientation_axis_accuracy_on_clean_pages(spark, smoke_dir):
     ).collect()[0]
     assert agg.n > 0
     assert agg.axis_ok / agg.n >= 0.9, f"axis accuracy {agg.axis_ok / agg.n}"
+
+
+def test_telea_inpaint_fills_and_preserves():
+    from qfilter.enhance import telea_inpaint
+
+    px = np.full((80, 80, 3), 215, np.uint8)
+    px[:, 38:42] = 15
+    mask = np.zeros((80, 80), np.uint8)
+    mask[:, 37:43] = 255
+    out = telea_inpaint(px, mask)
+    # unmasked pixels are untouched, masked filled near paper color
+    assert np.array_equal(out[:, :37], px[:, :37])
+    assert np.array_equal(out[:, 43:], px[:, 43:])
+    assert abs(float(out[:, 37:43].mean()) - 215.0) < 3.0
+    # deterministic
+    assert np.array_equal(out, telea_inpaint(px, mask))
+
+
+def test_telea_continues_gradient():
+    from qfilter.enhance import telea_inpaint
+
+    # horizontal luminance ramp; a masked vertical strip should be
+    # reconstructed close to the ramp, not a flat average
+    ramp = np.tile(np.linspace(60, 200, 80).astype(np.uint8), (80, 1))
+    px = np.repeat(ramp[..., None], 3, axis=2)
+    mask = np.zeros((80, 80), np.uint8)
+    mask[:, 38:42] = 255
+    out = telea_inpaint(px, mask)
+    err = np.abs(out[:, 38:42, 0].astype(float) - px[:, 38:42, 0].astype(float))
+    assert err.mean() < 6.0
+
+
+def test_remove_lines_telea_fill_variant():
+    from qfilter.enhance import remove_lines
+
+    px = np.full((90, 90, 3), 225, np.uint8)
+    px[44:46, :] = 30           # full-width line -> detected + erased
+    px[10:12, 10:30] = 40       # short stroke -> kept (it's "text")
+    out = remove_lines(px, fill="telea")
+    assert float(out[44:46, :].mean()) > 180   # line gone, paper restored
+    assert float(out[10:12, 10:30].mean()) < 100  # text untouched
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        remove_lines(px, fill="nope")
