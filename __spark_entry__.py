@@ -55,6 +55,7 @@ def _xxh_sidecars(sf_dir: str) -> dict[str, str]:
         ensure_sidecar_lines,
         ensure_sidecar_lsh_ann,
         ensure_sidecar_minhash_pairs,
+        ensure_sidecar_ocr_prep,
         ensure_sidecar_orientation,
         ensure_sidecar_polish,
         ensure_sidecar_simhash,
@@ -75,6 +76,7 @@ def _xxh_sidecars(sf_dir: str) -> dict[str, str]:
         "enhanced_bytes": ensure_sidecar_enhanced_bytes(_fixture_dir()),
         "orientation": ensure_sidecar_orientation(_fixture_dir()),
         "polish": ensure_sidecar_polish(_fixture_dir()),
+        "ocr_prep": ensure_sidecar_ocr_prep(_fixture_dir()),
     }
 
 
@@ -608,6 +610,25 @@ def _qf_polish_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qf_ocr_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 OCR preparation (reference `_prep_for_ocr`
+    classificator_extended_paddleocr.py:190-203): Lanczos upscale to
+    >= 1800 long side, CLAHE, Otsu BINARY, median blur — the last
+    previously-out-of-scope operator, now from-scratch in
+    `qfilter/ocrprep.py`.  Subset crc32 % 20 == 0 (the op runs at
+    1800 px); oracle sidecar built from the independently-coded twin."""
+    from qfilter.ocrprep import with_ocr_prep
+
+    # repartition: the fixture is one parquet file = one input split,
+    # and at ~1.5 s/image (1800 px planes) a serial task dominates
+    img = (
+        _fixture_images(spark)
+        .filter(F.crc32(F.col("image_id")) % 20 == 0)
+        .repartition(32, "image_id")
+    )
+    return with_ocr_prep(img).select("image_id", "prep_h", "prep_w", "white_frac")
+
+
 def _qf_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 threshold grid-search argmax (tune:103-123 shape)."""
     from qfilter.features import with_all_features
@@ -638,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_model_cv": _qf_model_cv,
         "qf_model_zoo": _qf_model_zoo,
         "qf_polish_stats": _qf_polish_stats,
+        "qf_ocr_prep": _qf_ocr_prep,
         "qf_line_features": _qf_line_features,
         "qf_enhance_stats": _qf_enhance_stats,
         "qf_enhanced_bytes": _qf_enhanced_bytes,
@@ -1412,6 +1434,10 @@ def oracle_sql() -> dict[str, str]:
         "qf_polish_stats": (
             f"SELECT image_id, polished_mean, polished_std, edge_frac "
             f"FROM read_parquet('{xxh['polish']}')"
+        ),
+        "qf_ocr_prep": (
+            f"SELECT image_id, prep_h, prep_w, white_frac "
+            f"FROM read_parquet('{xxh['ocr_prep']}')"
         ),
         "qf_orientation": (
             f"SELECT image_id, planted_deg, detected_deg, recovered "

@@ -652,3 +652,86 @@ def polish_stats_ref(px: np.ndarray) -> dict:
         "polished_std": float(lum.std()),
         "edge_frac": float(np.count_nonzero(edges)) / float(edges.size),
     }
+
+
+# --------------------------------------------------- OCR-prep twins
+
+def _lanczos_axis_ref(in_len: int, out_len: int):
+    """Per-output-pixel taps/weights computed with scalar math.sin in a
+    Python loop (vs the production np.sinc vector form — same reals,
+    same normalization expression)."""
+    import math
+
+    A = 3
+    J = np.empty((out_len, 2 * A), dtype=np.int64)
+    W = np.empty((out_len, 2 * A), dtype=np.float64)
+    for i in range(out_len):
+        c = (i + 0.5) * (in_len / out_len) - 0.5
+        j0 = math.floor(c) - (A - 1)
+        ws = []
+        for k in range(2 * A):
+            j = j0 + k
+            d = c - j
+            if abs(d) >= A:
+                ws.append(0.0)
+            elif d == 0.0:
+                ws.append(1.0)
+            else:
+                # np.sinc(x) = sin(pi x) / (pi x)
+                ws.append(
+                    (math.sin(math.pi * d) / (math.pi * d))
+                    * (math.sin(math.pi * d / A) / (math.pi * d / A))
+                )
+            J[i, k] = min(max(j, 0), in_len - 1)
+        s = sum(ws)
+        # same normalization as the vector form: elementwise divide by
+        # the row sum (np.sum over the 6 taps = this left-to-right sum
+        # only if pairwise blocking matches; 6 elements -> sequential
+        # in numpy too)
+        sv = np.float64(0.0)
+        arr = np.asarray(ws, dtype=np.float64)
+        sv = arr.sum()
+        W[i] = arr / sv
+    return J, W
+
+
+def lanczos_resize_ref(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Flat-index gather machinery, same k = 0..5 tap accumulation."""
+    a = img.astype(np.float64)
+    h, w = a.shape[:2]
+    Jv, Wv = _lanczos_axis_ref(h, out_h)
+    out = np.zeros((out_h,) + a.shape[1:], dtype=np.float64)
+    for k in range(6):
+        rows = a.reshape(h, -1)[Jv[:, k]].reshape((out_h,) + a.shape[1:])
+        wk = Wv[:, k][:, None] if a.ndim == 2 else Wv[:, k][:, None, None]
+        out += wk * rows
+    a = out
+    Jh, Wh = _lanczos_axis_ref(w, out_w)
+    out = np.zeros((out_h, out_w) + a.shape[2:], dtype=np.float64)
+    for k in range(6):
+        cols = a[:, Jh[:, k]]
+        wk = Wh[:, k][None, :] if a.ndim == 2 else Wh[:, k][None, :, None]
+        out += wk * cols
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def prep_for_ocr_ref(px: np.ndarray, long_side: int = 1800) -> np.ndarray:
+    h, w = px.shape[:2]
+    ls = max(h, w)
+    if ls < long_side:
+        scale = long_side / float(ls)
+        px = lanczos_resize_ref(px, int(h * scale), int(w * scale))
+    g = grayscale_ref(px)
+    g = clahe_ref(g, clip=2.0, tiles=(8, 8))
+    t = otsu_ref(g)
+    thr = ((g > t) * 255).astype(np.uint8)
+    return median3_ref(thr)
+
+
+def ocr_prep_ref(px: np.ndarray) -> dict:
+    thr = prep_for_ocr_ref(px)
+    return {
+        "prep_h": int(thr.shape[0]),
+        "prep_w": int(thr.shape[1]),
+        "white_frac": float(np.count_nonzero(thr)) / float(thr.size),
+    }

@@ -138,3 +138,43 @@ def test_twin_catches_canny_threshold_drift(monkeypatch):
     a = polish.polish_stats_one(px)
     b = ref.polish_stats_ref(px)
     assert a != b
+
+
+# ------------------------------------------------------ P8 OCR prep
+
+def test_lanczos_resize_twin_and_properties():
+    from oracle.imageref import lanczos_resize_ref
+    from qfilter.ocrprep import lanczos_resize
+
+    rng = np.random.default_rng(6)
+    for _ in range(4):
+        h = int(rng.integers(8, 60))
+        w = int(rng.integers(8, 60))
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        oh, ow = h * 3 + 1, w * 2 + 5
+        a = lanczos_resize(px, oh, ow)
+        b = lanczos_resize_ref(px, oh, ow)
+        assert np.array_equal(a, b)
+        assert a.shape == (oh, ow, 3)
+    # constant image stays constant under resampling (weights sum to 1)
+    flat = np.full((20, 30), 123, np.uint8)
+    out = lanczos_resize(flat, 61, 90)
+    assert int(out.min()) == 123 and int(out.max()) == 123
+
+
+def test_ocr_prep_twin_and_contract():
+    from oracle.imageref import ocr_prep_ref
+    from qfilter.ocrprep import ocr_prep_stats_one, prep_for_ocr
+
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, (40, 64, 3), dtype=np.uint8)
+    a = ocr_prep_stats_one(px)
+    b = ocr_prep_ref(px)
+    assert a == b
+    # contract: long side upscaled to exactly 1800, output binary
+    thr = prep_for_ocr(px)
+    assert max(thr.shape) == 1800
+    assert set(np.unique(thr)).issubset({0, 255})
+    # already-large page is not resized
+    big = rng.integers(0, 256, (1900, 500, 3), dtype=np.uint8)
+    assert prep_for_ocr(big).shape == (1900, 500)

@@ -465,6 +465,44 @@ def build_polish(fixture_dir: str) -> str:
     return path
 
 
+def build_ocr_prep(fixture_dir: str) -> str:
+    """Single-node oracle for `qf_ocr_prep` (P8) — built from the
+    independently-coded twin (`oracle.imageref.ocr_prep_ref`).
+    Subset crc32 % 20 == 0: the op upscales every page to 1800 px."""
+    import zlib
+
+    from oracle.imageref import ocr_prep_ref
+    from qfilter import codecs
+
+    tbl = pq.read_table(
+        os.path.join(fixture_dir, "images.parquet"),
+        columns=["image_id", "bytes", "fmt", "w", "h"],
+    ).to_pylist()
+    rows = {"image_id": [], "prep_h": [], "prep_w": [], "white_frac": []}
+    for r in tbl:
+        if zlib.crc32(r["image_id"].encode("utf-8")) % 20 != 0:
+            continue
+        try:
+            px = codecs.decode(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
+            s = ocr_prep_ref(px)
+        except Exception:  # noqa: BLE001
+            s = {"prep_h": None, "prep_w": None, "white_frac": None}
+        rows["image_id"].append(r["image_id"])
+        for c in ("prep_h", "prep_w", "white_frac"):
+            rows[c].append(s[c])
+    os.makedirs(OUT_DIR, exist_ok=True)
+    tier = os.path.basename(os.path.normpath(fixture_dir))
+    path = os.path.join(OUT_DIR, f"ocr_prep_{tier}.parquet")
+    pq.write_table(
+        pa.table(rows, schema=pa.schema([
+            ("image_id", pa.string()), ("prep_h", pa.int32()),
+            ("prep_w", pa.int32()), ("white_frac", pa.float64()),
+        ])),
+        path,
+    )
+    return path
+
+
 def build_ivf_ann(sf_dir: str, k: int = 5) -> str:
     """Replicates similarity.ivf_ann_topk single-node: same sorted
     sample matrix -> same deterministic k-means centroids -> same
@@ -638,6 +676,16 @@ def ensure_sidecar_polish(fixture_dir: str) -> str:
         os.path.join(OUT_DIR, f"polish_{tier}.parquet"),
         build_polish, fixture_dir,
         deps=("qfilter/polish.py", "oracle/imageref.py", *_IMG_DEPS),
+    )
+
+
+def ensure_sidecar_ocr_prep(fixture_dir: str) -> str:
+    tier = os.path.basename(os.path.normpath(fixture_dir))
+    return _ensure(
+        os.path.join(OUT_DIR, f"ocr_prep_{tier}.parquet"),
+        build_ocr_prep, fixture_dir,
+        deps=("qfilter/ocrprep.py", "qfilter/polish.py", "oracle/imageref.py",
+              *_IMG_DEPS),
     )
 
 
