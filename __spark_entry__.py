@@ -674,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_jaccard_pairs": corpus.trigram_jaccard_pairs,
         "minhash_lsh_dup_pairs": corpus.minhash_lsh_dup_pairs,
         "neardup_components": corpus.neardup_components,
+        "neardup_components_star": corpus.neardup_components_star,
         "simhash64": corpus.simhash64,
         "doc_nlp": _doc_nlp,
         # --- events (window/sequential ops) ---
@@ -1324,6 +1325,21 @@ def oracle_sql() -> dict[str, str]:
         # propagation iterates to); pairs come from the XXH64 sidecar
         # that the minhash_lsh_dup_pairs oracle already validates
         "neardup_components": (
+            f"""
+            WITH RECURSIVE
+            p AS (SELECT id1, id2 FROM read_parquet('{xxh['minhash_pairs']}')
+                  WHERE est_jaccard >= 0.5),
+            e AS (SELECT id1 AS src, id2 AS dst FROM p
+                  UNION ALL SELECT id2, id1 FROM p),
+            walk(v, comp) AS (
+              SELECT src, src FROM (SELECT DISTINCT src FROM e)
+              UNION
+              SELECT e.src, w.comp FROM e JOIN walk w ON e.dst = w.v
+            )
+            SELECT v AS doc_id, min(comp) AS component FROM walk GROUP BY v
+            """
+        ),
+"neardup_components_star": (
             f"""
             WITH RECURSIVE
             p AS (SELECT id1, id2 FROM read_parquet('{xxh['minhash_pairs']}')

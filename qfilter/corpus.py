@@ -471,24 +471,147 @@ def connected_components(
     raise RuntimeError(
         f"connected_components: no fixpoint within max_iter={max_iter} "
         "rounds (a component's eccentricity exceeds the budget); raise "
-        "max_iter or use a large-star/small-star variant for long-chain "
-        "graphs — returning partial labels would silently mislabel "
-        "clusters"
+        "max_iter or use connected_components_star (large-star/"
+        "small-star, O(log n) rounds) for long-chain graphs — "
+        "returning partial labels would silently mislabel clusters"
     )
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    ``(v, component)`` with component = min vertex id, same contract
+    as `connected_components`.
+
+    Converges in O(log n) label-changing rounds regardless of graph
+    DIAMETER — the variant to use when components can be long chains
+    (min-label propagation needs eccentricity-many rounds there).
+    Per round: two aggregate+join passes over the current edge set;
+    edge count never grows (every edge maps to exactly one edge), so
+    peak state = the input edge list.  Skewed hubs: the groupBy min
+    is a partial-aggregatable min — map-side combine absorbs them.
+
+    large-star(u): m = min(N(u) ∪ {u}); every LARGER neighbor v > u
+    re-points to m — halves long chains.  small-star(u): m = min of
+    the SMALLER-or-equal neighbors ∪ {u}; they and u all point to m —
+    flattens local stars.  Fixpoint: the edge multiset is stable;
+    checked with an order-independent exact checksum (sum of
+    xxhash64(u, v) over distinct edges — collision-safe here because
+    equal sums only confirm an already-monotone process).
+    """
+    if checkpoint == "local":
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+    elif checkpoint == "reliable":
+        if not edges.sparkSession.sparkContext.getCheckpointDir():
+            raise ValueError(
+                "checkpoint='reliable' needs sc.setCheckpointDir(...)"
+            )
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        raise ValueError(f"unknown checkpoint strategy {checkpoint!r}")
+
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    verts = _ckpt(
+        und.select("u").unionByName(und.select(F.col("v").alias("u"))).distinct()
+    )
+    e = _ckpt(
+        und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return (
+            df.unionByName(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _checksum(df: DataFrame):
+        # decimal(38,0) accumulator: summing ~2^63-range hashes in a
+        # long overflows under ANSI mode
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return (row.n, row.s)
+
+    prev = _checksum(e)
+    for _ in range(max_iter + 1):
+        # large star: (u,v) with v > u  ->  (v, m_u)
+        mins = e.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        ls = (
+            e.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e1 = _ckpt(_sym(ls))
+        # small star over edges oriented large -> small: (u,v), v <= u
+        small = e1.filter(F.col("v") < F.col("u"))
+        mins2 = small.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            small.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
+        )
+        e2 = _ckpt(_sym(ss))
+        del e
+        e = e2
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint within {max_iter} rounds"
+        )
+    # stable edge set is a union of stars child -> root (root = min id)
+    child = e.filter(F.col("v") < F.col("u")).select(
+        F.col("u").alias("v"), F.col("v").alias("comp")
+    )
+    return verts.select(F.col("u").alias("v")).join(
+        child, "v", "left"
+    ).select("v", F.coalesce("comp", F.col("v")).alias("comp"))
+
+
 def neardup_components(
-    spark: SparkSession, sf_dir: str, min_jaccard: float = 0.5
+    spark: SparkSession, sf_dir: str, min_jaccard: float = 0.5,
+    algo: str = "prop",
 ) -> DataFrame:
     """Near-dup cluster ids: MinHash-LSH candidate pairs thresholded at
     ``min_jaccard``, then connected components — the step between pair
     generation and "keep one doc per cluster" in a dedup pipeline.
-    Component id = min doc_id in the cluster (the canonical keeper)."""
+    Component id = min doc_id in the cluster (the canonical keeper).
+
+    ``algo``: "prop" (min-label propagation — rounds = component
+    eccentricity, right for the star-like dup graphs this produces) or
+    "star" (large-star/small-star — O(log n) rounds regardless of
+    diameter, the adversarial-chain-safe variant).  Identical labels
+    either way (same oracle)."""
     pairs = minhash_lsh_dup_pairs(spark, sf_dir).filter(
         F.col("est_jaccard") >= min_jaccard
     )
-    comp = connected_components(pairs, src="id1", dst="id2")
+    cc = connected_components if algo == "prop" else connected_components_star
+    comp = cc(pairs, src="id1", dst="id2")
     return comp.select(F.col("v").alias("doc_id"), F.col("comp").alias("component"))
+
+
+def neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`neardup_components` via the large-star/small-star CC — same
+    result set (shared DuckDB recursive-CTE oracle), exercising the
+    O(log n)-round variant end to end."""
+    return neardup_components(spark, sf_dir, algo="star")
 
 
 def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -287,3 +287,32 @@ def test_connected_components_reliable_checkpoint_matches_local(spark, tmp_path)
     }
     assert reliable == local
     assert local[3] == 1 and local[12] == 10 and local[20] == 20
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """large-star/small-star must produce exactly min-propagation's
+    labels on random graphs, self-loops and isolated pairs."""
+    import random
+
+    from qfilter.corpus import connected_components, connected_components_star
+
+    random.seed(11)
+    edges = [(random.randint(0, 150), random.randint(0, 150)) for _ in range(200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r.v: r.comp for r in connected_components(df, max_iter=60).collect()}
+    b = {r.v: r.comp for r in connected_components_star(df).collect()}
+    assert a == b
+
+
+def test_connected_components_star_long_chain_log_rounds(spark):
+    """A 400-node path has diameter 400 — min-propagation would need
+    ~400 rounds; the star variant must converge within ~log2(n)+slack
+    rounds and label every vertex with the chain minimum."""
+    from qfilter.corpus import connected_components_star
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "src long, dst long"
+    )
+    got = {r.v: r.comp for r in connected_components_star(chain, max_iter=14).collect()}
+    assert len(got) == 401
+    assert set(got.values()) == {0}
