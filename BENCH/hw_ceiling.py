@@ -54,19 +54,23 @@ def load_sample(n: int = 300):
 
 
 def _one_pass(rows):
-    from qfilter import codecs, imageops
-    from qfilter.phash import average_hash
+    # mirrors the PRODUCTION hot path (features._image_features_udf):
+    # per-row decode + shape-batched kernels over Arrow-sized chunks
+    from qfilter import codecs
+    from qfilter.batch_image import image_features_batch
+    from qfilter.session import ARROW_BATCH_ROWS
 
     cnt = 0
-    for b, f, ww, hh in rows:
-        try:  # fixture plants corrupt error-channel rows by design
-            px = codecs.decode(b, f, int(ww), int(hh))
-            gray = imageops.grayscale(px)
-            feats = imageops.image_features(px, _gray=gray)
-            feats["phash64"] = average_hash(px, _gray=gray)
-        except Exception:  # noqa: BLE001
-            pass
-        cnt += 1
+    for i in range(0, len(rows), ARROW_BATCH_ROWS):
+        chunk = rows[i : i + ARROW_BATCH_ROWS]
+        pxs = []
+        for b, f, ww, hh in chunk:
+            try:  # fixture plants corrupt error-channel rows by design
+                pxs.append(codecs.decode(b, f, int(ww), int(hh)))
+            except Exception:  # noqa: BLE001
+                pass
+        image_features_batch(pxs)
+        cnt += len(chunk)
     return cnt
 
 
