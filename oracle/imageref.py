@@ -62,28 +62,33 @@ def grayscale_ref(px: np.ndarray) -> np.ndarray:
 
 
 def otsu_ref(gray: np.ndarray) -> int:
-    """Histogram-loop Otsu, classic w0*w1*(mu0-mu1)^2 objective.
-    Same argmax as the kernel's count-based closed form (equal reals;
-    first-max tie-break mirrored)."""
+    """Histogram-loop Otsu (running scalar cumulatives instead of the
+    kernel's vectorized cumsums) over the SAME count-based objective
+    expression ``(muT*omega - mu*N)^2 / (omega*(N - omega))``.
+
+    The expression must match the kernel's, not just its real value:
+    the classic ``w0*w1*(mu0-mu1)^2`` form rounds differently and was
+    observed to flip the argmax by one grey level on a near-tie
+    (1800 px CLAHE'd plane in the ocr-prep fixtures).  All cumulative
+    inputs are exact integers in float64 (< 2^53), so loop vs cumsum
+    machinery yields identical doubles; first-max tie-break mirrors
+    np.argmax."""
     hist = np.bincount(gray.reshape(-1), minlength=256).astype(np.float64)
-    total = hist.sum()
+    total = float(hist.sum())
     if total == 0:
         return 127
-    best_t, best_v = 0, -1.0
-    csum = 0.0
-    cmu = 0.0
     mu_t = float(np.dot(hist, np.arange(256.0)))
+    best_t, best_v = 0, -np.inf
+    omega = 0.0
+    mu = 0.0
     for t in range(256):
-        csum += hist[t]
-        cmu += hist[t] * t
-        w0 = csum
-        w1 = total - csum
-        if w0 == 0 or w1 == 0:
+        omega += hist[t]
+        mu += hist[t] * t
+        denom = omega * (total - omega)
+        if denom <= 0.0:
             v = 0.0
         else:
-            mu0 = cmu / w0
-            mu1 = (mu_t - cmu) / w1
-            v = w0 * w1 * (mu0 - mu1) ** 2
+            v = (mu_t * omega - mu * total) ** 2 / denom
         if v > best_v:
             best_v, best_t = v, t
     return best_t
@@ -677,10 +682,14 @@ def _lanczos_axis_ref(in_len: int, out_len: int):
             elif d == 0.0:
                 ws.append(1.0)
             else:
-                # np.sinc(x) = sin(pi x) / (pi x)
+                # np.sinc(x) = sin(pi x) / (pi x); NOTE pi * (d / A),
+                # not (pi * d) / A — np.sinc(d / A) divides FIRST, and
+                # the two orders round differently (observed 123-pixel
+                # divergence at 14x upscale before this fix)
+                da = d / A
                 ws.append(
                     (math.sin(math.pi * d) / (math.pi * d))
-                    * (math.sin(math.pi * d / A) / (math.pi * d / A))
+                    * (math.sin(math.pi * da) / (math.pi * da))
                 )
             J[i, k] = min(max(j, 0), in_len - 1)
         s = sum(ws)
