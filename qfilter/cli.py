@@ -41,9 +41,32 @@ def main(argv: list[str] | None = None) -> int:
     str_p.add_argument("--out", required=True)
     str_p.add_argument("--checkpoint", required=True)
     str_p.add_argument("--master", default=None)
+    str_p.add_argument(
+        "--max-files-per-trigger", type=int, default=8,
+        help="micro-batch width; use >= executor cores when draining a backlog",
+    )
 
     art_p = sub.add_parser("build-artifacts")
     art_p.add_argument("--dir", default="artifacts/text_bundle")
+
+    tr_p = sub.add_parser(
+        "train", help="train a quality model from a labeled features table"
+    )
+    tr_p.add_argument("--input", required=True, help="features+keep parquet")
+    tr_p.add_argument("--model-out", required=True, help=".npz artifact path")
+    tr_p.add_argument("--family", choices=["logreg", "gb"], default="logreg")
+    tr_p.add_argument("--master", default=None)
+
+    enh_p = sub.add_parser(
+        "enhance", help="image enhancement stats / transformed bytes"
+    )
+    enh_p.add_argument("--input", required=True, help="images parquet")
+    enh_p.add_argument("--out", required=True)
+    enh_p.add_argument(
+        "--mode", choices=["stats", "bytes", "lines", "polish", "ocr-prep"],
+        default="stats",
+    )
+    enh_p.add_argument("--master", default=None)
 
     sub.add_parser("bench")
 
@@ -88,9 +111,54 @@ def main(argv: list[str] | None = None) -> int:
         from .streaming import stream_quality_filter
 
         spark = get_spark(app="qfilter-stream", master=args.master)
-        q = stream_quality_filter(spark, args.input, args.out, args.checkpoint)
+        q = stream_quality_filter(
+            spark, args.input, args.out, args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
         q.awaitTermination()
         print(json.dumps({"stream": "drained", "out": args.out}))
+        return 0
+
+    if args.cmd == "train":
+        spark = get_spark(app="qfilter-train", master=args.master)
+        feats = spark.read.parquet(args.input)
+        if args.family == "logreg":
+            from .model import save_model, train_from_features
+
+            w, b = train_from_features(feats)
+            save_model(args.model_out, w, b)
+        else:
+            from .model import gb_train_from_features, save_gb
+
+            save_gb(args.model_out, gb_train_from_features(feats))
+        print(json.dumps({"model": args.model_out, "family": args.family}))
+        return 0
+
+    if args.cmd == "enhance":
+        spark = get_spark(app="qfilter-enhance", master=args.master)
+        img = spark.read.parquet(args.input)
+        if args.mode == "stats":
+            from .enhance import with_enhance_stats
+
+            out = with_enhance_stats(img).drop("bytes")
+        elif args.mode == "bytes":
+            from .enhance import with_enhanced_bytes
+
+            out = with_enhanced_bytes(img)
+        elif args.mode == "lines":
+            from .enhance import with_line_features
+
+            out = with_line_features(img).drop("bytes")
+        elif args.mode == "polish":
+            from .polish import with_polish_stats
+
+            out = with_polish_stats(img).drop("bytes")
+        else:
+            from .ocrprep import with_ocr_prep
+
+            out = with_ocr_prep(img).drop("bytes")
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out, "mode": args.mode}))
         return 0
 
     return 1
