@@ -336,6 +336,39 @@ def _stream_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema)
 
 
+def _stream_event_sessions_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom arbitrary-stateful sessionization (applyInPandasWithState,
+    event-time timeout) — same emitted contract as the built-in
+    session_window stream, so it shares that oracle (watermark-
+    finalized gap-cumsum sessions)."""
+    import shutil
+    import tempfile
+
+    from qfilter.streaming import stream_event_sessions_custom
+
+    base = tempfile.mkdtemp(prefix="qf_stream_css_")
+    try:
+        land = os.path.join(base, "landing")
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(land)
+        )
+        q = stream_event_sessions_custom(spark, land, out, ckpt)
+        assert q.awaitTermination(600), "availableNow stream drain timed out"
+        res = spark.read.parquet(out).select(
+            "user_id", "session_start", "session_end", "n_events", "sum_value"
+        )
+        pdf = res.toPandas()
+        schema = res.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema)
+
+
 def _mm_image_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qfilter.multimodal import image_thumbnail
 
@@ -696,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- streaming ---
         "stream_event_windows": _stream_event_windows,
         "stream_event_sessions": _stream_event_sessions,
+        "stream_event_sessions_custom": _stream_event_sessions_custom,
         # --- multimodal plumbing ---
         "mm_image_thumbs": _mm_image_thumbs,
         "mm_audio_features": _mm_audio,
@@ -1164,6 +1198,31 @@ def oracle_sql() -> dict[str, str]:
         # to sessions finalized by the final watermark (session window
         # end = last ts + 30 min gap; emitted when <= ms-floored max(ts) - 2h)
         "stream_event_sessions": """
+            WITH m AS (SELECT max(ts) AS mx FROM events),
+            g AS (
+              SELECT user_id, ts, event_id, value,
+                     date_diff('us',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_us
+              FROM events
+            ), s AS (
+              SELECT *, CAST(sum(CASE WHEN gap_us IS NULL
+                                       OR gap_us >= CAST(1800 AS BIGINT) * 1000000
+                                      THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                   AS session_idx
+              FROM g
+            )
+            SELECT user_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM s, m
+            GROUP BY user_id, session_idx, m.mx
+            HAVING max(ts) + INTERVAL '30 minutes'
+                   <= date_trunc('milliseconds', m.mx) - INTERVAL '2 hours'
+        """,
+"stream_event_sessions_custom": """
             WITH m AS (SELECT max(ts) AS mx FROM events),
             g AS (
               SELECT user_id, ts, event_id, value,

@@ -109,3 +109,30 @@ class Catalog:
 
     def exists(self, table: str) -> bool:
         return bool(self.snapshots(table))
+
+
+# ------------------------------------------------------- bucketed layout
+
+def write_bucketed(
+    df, table: str, bucket_cols: list[str], n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a DataFrame as a BUCKETED managed table (Spark/Hive
+    bucketing): rows are hash-partitioned into ``n_buckets`` files per
+    partition by ``bucket_cols`` at WRITE time, so joins and
+    aggregations keyed on those columns read co-located data and skip
+    the shuffle entirely — the 100 TB technique for repeated joins on
+    the same key (e.g. image_id label joins, doc_id dedup joins).
+
+    `tests/test_plans.py::test_bucketed_join_no_shuffle` proves the
+    plan: two tables bucketed on the same key join with ZERO Exchange
+    nodes.  On a real deployment the same layout comes from Iceberg's
+    bucket partition transform."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_table(spark, table: str):
+    return spark.table(table)

@@ -15,6 +15,10 @@ streaming job too:
   with a watermark for late data (the generic streaming-agg pattern).
 * `stream_event_sessions` — stateful per-user session windows via the
   built-in `session_window` with watermark-bounded merging state.
+* `stream_event_sessions_custom` — the same sessions hand-rolled with
+  `applyInPandasWithState` (arbitrary stateful operator, event-time
+  timeout) — the API for stateful semantics the built-ins can't
+  express; parity-tested against both the built-in stream and batch.
 
 All reuse the exact batch transformations — Structured Streaming
 runs the same Catalyst plan incrementally, so batch/stream parity is
@@ -35,6 +39,7 @@ __all__ = [
     "stream_quality_filter",
     "stream_event_window_counts",
     "stream_event_sessions",
+    "stream_event_sessions_custom",
 ]
 
 EVENTS_SCHEMA = T.StructType(
@@ -170,6 +175,171 @@ def stream_event_sessions(
     )
     return (
         agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_event_sessions_custom(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    schema: T.StructType | None = None,
+):
+    """Custom stateful sessionization via ``applyInPandasWithState`` —
+    the hand-rolled analogue of `stream_event_sessions`' built-in
+    `session_window`, demonstrating the arbitrary-stateful-operator
+    API for semantics the built-ins can't express.
+
+    Per user, the state holds the list of UNDECIDED sessions
+    (start_us, end_us, n, decimal-sum as string).  Each invoke merges
+    the micro-batch's rows (sorted by ts, event_id — the batch op's
+    order) with the stored sessions in time order and re-splits on
+    ``gap >= gap_minutes`` (the exact `corpus.event_sessions` rule);
+    sessions whose ``end + gap <= watermark`` are emitted, the rest
+    stay in state with an event-time timeout at ``min(end) + gap`` so
+    the engine's final watermark pass flushes them.  Emission contract
+    therefore equals `session_window` append mode: exactly the
+    sessions finalized by the final watermark (parity-tested against
+    BOTH the built-in stream and the batch op).
+
+    Value sums replicate the batch op's ``cast(value as decimal(18,6))``
+    exactly: Spark's double->decimal cast goes through the shortest
+    decimal representation (BigDecimal.valueOf), i.e. Python
+    ``Decimal(repr(v))``, quantized half-up to 6 dp; decimal sums are
+    exact, and the final double cast rounds identically.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if schema is None:
+        schema = EVENTS_SCHEMA
+    gap_us = 60_000_000 * gap_minutes
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("starts", T.ArrayType(T.LongType())),
+            T.StructField("ends", T.ArrayType(T.LongType())),
+            T.StructField("ns", T.ArrayType(T.LongType())),
+            T.StructField("sums", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+        (user_id,) = key
+
+        def emit_df(sessions):
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(sessions),
+                    "session_start": pd.to_datetime(
+                        [s[0] for s in sessions], unit="us"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [s[1] for s in sessions], unit="us"
+                    ),
+                    "n_events": [s[2] for s in sessions],
+                    "sum_value": [float(s[3]) for s in sessions],
+                }
+            )
+
+        stored = []
+        if state.exists:
+            starts, ends, ns, sums = state.get
+            stored = [
+                (int(a), int(b), int(n), Decimal(s))
+                for a, b, n, s in zip(starts, ends, ns, sums)
+            ]
+
+        if state.hasTimedOut:
+            # final flush: watermark passed the earliest pending end+gap
+            wm = state.getCurrentWatermarkMs() * 1000
+            done = [s for s in stored if s[1] + gap_us <= wm]
+            keep = [s for s in stored if s[1] + gap_us > wm]
+            if keep:
+                state.update(
+                    (
+                        [s[0] for s in keep], [s[1] for s in keep],
+                        [s[2] for s in keep], [str(s[3]) for s in keep],
+                    )
+                )
+                state.setTimeoutTimestamp(min(s[1] for s in keep) // 1000 + gap_us // 1000)
+            else:
+                state.remove()
+            if done:
+                yield emit_df(done)
+            return
+
+        # merge new rows (as 1-event atoms) with stored session atoms,
+        # then re-split by the gap rule in time order
+        atoms = list(stored)
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
+            vals = pdf["value"].tolist()
+            for t, v in zip(ts_us, vals):
+                d = Decimal(repr(float(v))).quantize(q6, rounding=ROUND_HALF_UP)
+                atoms.append((t, t, 1, d))
+        if not atoms:
+            return
+        atoms.sort(key=lambda s: (s[0], s[1]))
+        sessions = [atoms[0]]
+        for a in atoms[1:]:
+            last = sessions[-1]
+            if a[0] - last[1] < gap_us:  # merge (gap >= gap_us splits)
+                sessions[-1] = (
+                    last[0], max(last[1], a[1]), last[2] + a[2], last[3] + a[3]
+                )
+            else:
+                sessions.append(a)
+
+        wm = state.getCurrentWatermarkMs() * 1000
+        done = [s for s in sessions if s[1] + gap_us <= wm]
+        keep = [s for s in sessions if s[1] + gap_us > wm]
+        if keep:
+            state.update(
+                (
+                    [s[0] for s in keep], [s[1] for s in keep],
+                    [s[2] for s in keep], [str(s[3]) for s in keep],
+                )
+            )
+            state.setTimeoutTimestamp(min(s[1] for s in keep) // 1000 + gap_us // 1000)
+        else:
+            state.remove()
+        if done:
+            yield emit_df(done)
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    sessions = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return (
+        sessions.writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

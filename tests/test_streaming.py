@@ -121,3 +121,47 @@ def test_event_sessions_stream_batch_parity(spark, tmp_path_factory):
         <= F.lit(mx_ms) - F.expr("INTERVAL 2 HOURS")
     )
     assert n_got == fin.count()
+
+
+def test_custom_stateful_sessions_match_builtin_and_batch(spark, tmp_path_factory):
+    """applyInPandasWithState sessionizer == session_window stream ==
+    batch gap-cumsum on the watermark-finalized subset, value sums
+    bit-identical (decimal(18,6) replication)."""
+    from qfilter.streaming import stream_event_sessions, stream_event_sessions_custom
+
+    src = "/root/testdata/sf0.001"
+    land = str(tmp_path_factory.mktemp("cs_landing"))
+    spark.read.parquet(f"{src}/events.parquet").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(land)
+
+    out_c = str(tmp_path_factory.mktemp("cs_out"))
+    q = stream_event_sessions_custom(
+        spark, land, out_c, str(tmp_path_factory.mktemp("cs_ckpt"))
+    )
+    assert q.awaitTermination(600)
+    got = spark.read.parquet(out_c).select(
+        "user_id", "session_start", "session_end", "n_events", "sum_value"
+    )
+    n_custom = got.count()
+    assert n_custom > 0
+
+    out_b = str(tmp_path_factory.mktemp("cb_out"))
+    qb = stream_event_sessions(
+        spark, land, out_b, str(tmp_path_factory.mktemp("cb_ckpt"))
+    )
+    assert qb.awaitTermination(600)
+    builtin = spark.read.parquet(out_b).select(
+        "user_id", "session_start", "session_end", "n_events", "sum_value"
+    )
+    # exact multiset equality with the built-in session_window stream
+    assert got.exceptAll(builtin).count() == 0
+    assert builtin.exceptAll(got).count() == 0
+
+    # and every emitted session is a batch session, exactly
+    from qfilter.corpus import event_sessions
+
+    bsess = event_sessions(spark, src, gap_minutes=30).select(
+        "user_id", "session_start", "session_end", "n_events", "sum_value"
+    )
+    assert got.exceptAll(bsess).count() == 0
