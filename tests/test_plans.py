@@ -189,3 +189,53 @@ def test_bucketed_join_no_shuffle(spark, smoke_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS tp_b_images")
         spark.sql("DROP TABLE IF EXISTS tp_b_labels")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Skewed keys at scale: AQE must detect the hot partition in a
+    sort-merge join and split it (SortMergeJoin(skew=true) +
+    'AQEShuffleRead … skewed' in the FINAL adaptive plan) — the
+    runtime half of the skew story next to the manual salting the
+    dedup path uses.  Thresholds are lowered so the fixture-sized
+    shuffle trips the same code path a TB-scale hot key would."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = (
+            spark.range(0, 300000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 100 < 95, F.lit(7)).otherwise(
+                    F.col("id") % 500
+                ),
+            )
+            .withColumn(
+                "pad", F.concat(F.lit("x" * 100), F.col("id").cast("string"))
+            )
+        )
+        right = (
+            spark.range(0, 500)
+            .withColumn("k", F.col("id"))
+            .withColumn("rv", F.col("id") * 2)
+        )
+        j = left.join(right, "k").select(F.sum(F.length("pad")))
+        j.collect()  # same QueryExecution -> final adaptive plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "skewed" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1,0 +1,144 @@
+"""Hypothesis property tests for the Spark-free kernel layer.
+
+Randomized adversarial inputs for the invariants the fixed-seed tests
+sample: codec round-trips, scrub twin identity on arbitrary unicode,
+component stats vs BFS flood-fill, batched-vs-scalar image kernels on
+arbitrary shapes, morphology algebra, and hash bit ranges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from qfilter import codecs, imageops
+from qfilter.batch_image import image_features_batch
+from qfilter.phash import average_hash
+from qfilter.textops import default_bundle
+
+_small_gray = arrays(
+    np.uint8,
+    st.tuples(st.integers(1, 40), st.integers(1, 40)),
+    elements=st.integers(0, 255),
+)
+_small_rgb = arrays(
+    np.uint8,
+    st.tuples(st.integers(4, 32), st.integers(4, 32), st.just(3)),
+    elements=st.integers(0, 255),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_small_rgb, st.sampled_from(["raw", "bmp", "png"]))
+def test_lossless_codec_roundtrip(px, fmt):
+    enc = {"raw": codecs._encode_raw, "bmp": codecs._encode_bmp,
+           "png": codecs._encode_png}[fmt](px)
+    dec = codecs.decode(enc, fmt, px.shape[1], px.shape[0])
+    assert np.array_equal(dec, px)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=300))
+def test_scrub_series_equals_scalar_on_any_text(text):
+    scrub = default_bundle().scrub
+    out, n_pii, n_tox = scrub.scrub_series([text])
+    s_ref, pii_ref, tox_ref = scrub.scrub(text or "")
+    assert out.iloc[0] == s_ref
+    assert int(n_pii.iloc[0]) == pii_ref
+    assert int(n_tox.iloc[0]) == tox_ref
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    arrays(np.uint8, st.tuples(st.integers(1, 25), st.integers(1, 25)),
+           elements=st.sampled_from([0, 255]))
+)
+def test_component_stats_match_bfs_flood_fill(mask):
+    """Run-based union-find == per-pixel BFS on arbitrary masks."""
+    from oracle.imageref import cc_ref
+
+    st_ = imageops.connected_component_stats(mask)
+    ref = cc_ref(mask)
+    if st_ is None:
+        assert ref == []
+        return
+    assert len(ref) == len(st_["area"])
+    for i, c in enumerate(ref):
+        assert c["area"] == int(st_["area"][i])
+        assert c["bbox"] == (
+            int(st_["x1"][i]), int(st_["y1"][i]),
+            int(st_["x2"][i]), int(st_["y2"][i]),
+        )
+        for k in ("sum_x", "sum_y", "sxx", "syy", "sxy"):
+            assert c[k] == float(st_[k][i]), (i, k)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_small_rgb, min_size=1, max_size=6))
+def test_batched_image_features_match_scalar_any_mix(pxs):
+    got = image_features_batch(pxs)
+    for px, g in zip(pxs, got):
+        gray = imageops.grayscale(px)
+        ref = imageops.image_features(px, _gray=gray)
+        ref["phash64"] = average_hash(px, _gray=gray)
+        for k, v in ref.items():
+            if isinstance(v, float):
+                assert v == g[k] or (np.isnan(v) and np.isnan(g[k])), (k, v, g[k])
+            else:
+                assert v == g[k], (k, v, g[k])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    _small_gray,
+    st.sampled_from([1, 3, 5, 7]),
+    st.sampled_from([1, 3, 5, 7]),
+)
+def test_morphology_adjunction_and_idempotence(gray, kh, kw):
+    """dilate/erode on binary masks form an adjunction: opening and
+    closing are idempotent for ODD (symmetric) kernels — the property
+    `core_content_fraction`'s single-close optimization relies on.
+    (Even kernels are asymmetric under clamped borders and genuinely
+    NOT idempotent — hypothesis found 1x2 counterexamples, which is
+    why the production double-close collapse is only applied to the
+    odd 15x15 site.)  erode <= input <= dilate holds for any size."""
+    b = ((gray > 127) * 255).astype(np.uint8)
+    # extensivity holds for any kernel size
+    for ah, aw in ((kh, kw), (2, 4)):
+        er = imageops.erode(b, ah, aw)
+        di = imageops.dilate(b, ah, aw)
+        assert (er <= b).all() and (b <= di).all()
+    op = imageops.morph_open(b, kh, kw)
+    cl = imageops.morph_close(b, kh, kw)
+    assert np.array_equal(imageops.morph_open(op, kh, kw), op)
+    assert np.array_equal(imageops.morph_close(cl, kh, kw), cl)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_small_rgb)
+def test_average_hash_is_stable_int64(px):
+    h = average_hash(px)
+    assert -(1 << 63) <= h < (1 << 63)
+    assert h == average_hash(px)  # deterministic
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    arrays(np.uint8, st.tuples(st.integers(8, 30), st.integers(8, 30)),
+           elements=st.integers(0, 255)),
+    st.integers(0, 6),
+)
+def test_telea_fills_mask_only(gray, seed):
+    """Inpaint never touches unmasked pixels and always fills the mask
+    with in-range values."""
+    from qfilter.enhance import telea_inpaint
+
+    rng = np.random.default_rng(seed)
+    px = np.repeat(gray[..., None], 3, axis=2)
+    mask = (rng.random(gray.shape) < 0.2).astype(np.uint8) * 255
+    out = telea_inpaint(px, mask)
+    um = mask == 0
+    assert np.array_equal(out[um], px[um])
+    assert out.dtype == px.dtype and out.shape == px.shape
