@@ -1,14 +1,17 @@
 """Arrow-batched Spark UDF stages for the quality-filter pipeline.
 
-Three vectorized stages, mirroring the reference's per-document
-assessment loop (`classificator_extended_paddleocr.py:368-512`) as
-batched column transforms:
+Vectorized stages, mirroring the reference's per-document assessment
+loop (`classificator_extended_paddleocr.py:368-512`) as batched
+column transforms:
 
 1. ``with_image_features``  — decode ``bytes`` + all pixel metrics
-   (pandas UDF over BinaryType; one Arrow batch = tens of images).
-2. ``with_caption_features`` — OCR-analogue conf/geometry features,
-   langid, perplexity, Gopher/C4 heuristics.
-3. ``with_scrubbed_caption`` — compiled-regex PII/toxicity scrub.
+   (pandas UDF over BinaryType; one Arrow batch = tens of images,
+   kernels run once per (h, w) shape-group — `qfilter.batch_image`).
+2. ``with_caption_and_scrub`` — OCR-analogue conf/geometry features,
+   langid, perplexity, Gopher/C4 heuristics AND the compiled-regex
+   PII/toxicity scrub FUSED into one Arrow pass (the e2e path);
+   `with_caption_features` / `with_scrubbed_caption` remain as
+   separate stages for single-purpose callers.
 
 Scale notes (100 TB design):
 * No per-row Python at the Spark level — every UDF is a pandas UDF
@@ -250,8 +253,50 @@ def with_scrubbed_caption(df: DataFrame) -> DataFrame:
     return out.select(*df.columns, "_scr.*")
 
 
+CAPTION_SCRUB_SCHEMA = T.StructType(
+    list(CAPTION_FEATURES_SCHEMA.fields) + list(SCRUB_SCHEMA.fields)
+)
+
+
+@F.pandas_udf(CAPTION_SCRUB_SCHEMA)
+def _caption_scrub_udf(
+    caption: pd.Series, blocks: pd.Series, w: pd.Series, h: pd.Series
+) -> pd.DataFrame:
+    # fused caption-features + scrub: ONE Arrow round trip and one
+    # Python-worker pass over the caption column instead of two; the
+    # interiors are the exact batched functions of the separate
+    # stages, so every value is bit-identical to running them apart
+    capf = caption_features_frame(
+        default_bundle(),
+        list(caption),
+        [_blocks_to_tuples(b) for b in blocks],
+        w.to_numpy(),
+        h.to_numpy(),
+        _HEUR_KEEP,
+    )
+    out, n_pii, n_tox = default_bundle().scrub.scrub_series(caption)
+    capf["caption_scrubbed"] = out.reset_index(drop=True)
+    capf["pii_hits"] = n_pii.reset_index(drop=True)
+    capf["tox_hits"] = n_tox.reset_index(drop=True)
+    return capf
+
+
+def with_caption_and_scrub(df: DataFrame) -> DataFrame:
+    """Fused caption-features + scrub stage (the e2e hot path; the
+    separate `with_caption_features` / `with_scrubbed_caption` stages
+    remain for callers that need only one side)."""
+    blocks_col = (
+        F.col("blocks") if "blocks" in df.columns
+        else F.lit(None).cast(
+            "array<struct<top:double,left:double,width:double,height:double>>"
+        )
+    )
+    out = df.withColumn(
+        "_cs", _caption_scrub_udf(F.col("caption"), blocks_col, F.col("w"), F.col("h"))
+    )
+    return out.select(*df.columns, "_cs.*")
+
+
 def with_all_features(df: DataFrame, drop_bytes: bool = True) -> DataFrame:
     """images table -> full feature table (no labels yet)."""
-    return with_scrubbed_caption(
-        with_caption_features(with_image_features(df, drop_bytes=drop_bytes))
-    )
+    return with_caption_and_scrub(with_image_features(df, drop_bytes=drop_bytes))
