@@ -254,6 +254,10 @@ def run_suite(spark, sf_dir: str, tier: str):
             lambda: corpus.neardup_components(spark, sf_dir).count(),
         )
         timed(
+            "neardup_components_star",
+            lambda: corpus.neardup_components_star(spark, sf_dir).count(),
+        )
+        timed(
             "weighted_median",
             lambda: corpus.weighted_median_value(spark, sf_dir).count(),
         )
