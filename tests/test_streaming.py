@@ -165,3 +165,57 @@ def test_custom_stateful_sessions_match_builtin_and_batch(spark, tmp_path_factor
         "user_id", "session_start", "session_end", "n_events", "sum_value"
     )
     assert got.exceptAll(bsess).count() == 0
+
+
+def test_custom_stateful_sessions_checkpoint_resume(spark, tmp_path_factory):
+    """Exactly-once across restart for applyInPandasWithState: drain
+    the EARLY half of the events, stop, land the LATE half, restart on
+    the SAME checkpoint.  State (open sessions) must carry over — the
+    final emitted set equals the batch sessions finalized by the final
+    watermark, with cross-restart sessions (spanning the split point)
+    emitted exactly once and correctly merged."""
+    from qfilter.corpus import event_sessions
+    from qfilter.streaming import stream_event_sessions_custom
+
+    src = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    ts_sorted = [r.ts for r in ev.select("ts").orderBy("ts").collect()]
+    cut = ts_sorted[len(ts_sorted) // 2]
+
+    land = str(tmp_path_factory.mktemp("cr_landing"))
+    out = str(tmp_path_factory.mktemp("cr_out"))
+    ckpt = str(tmp_path_factory.mktemp("cr_ckpt"))
+    pat = os.path.join(land, "*")
+
+    ev.filter(F.col("ts") <= F.lit(cut)).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(land, "early"))
+    q1 = stream_event_sessions_custom(spark, pat, out, ckpt)
+    assert q1.awaitTermination(600)
+    n1 = spark.read.parquet(out).count()
+
+    ev.filter(F.col("ts") > F.lit(cut)).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(land, "late"))
+    q2 = stream_event_sessions_custom(spark, pat, out, ckpt)
+    assert q2.awaitTermination(600)
+
+    got = spark.read.parquet(out).select(
+        "user_id", "session_start", "session_end", "n_events", "sum_value"
+    )
+    assert got.count() > n1  # the second drain emitted more sessions
+    # no duplicate emissions across the restart
+    assert got.groupBy(got.columns).count().filter("count > 1").count() == 0
+    # every emitted session is a batch session, exactly (incl. values)
+    bsess = event_sessions(spark, src, gap_minutes=30).select(
+        "user_id", "session_start", "session_end", "n_events", "sum_value"
+    )
+    assert got.exceptAll(bsess).count() == 0
+    # at least one emitted session SPANS the restart point — proof the
+    # open-session state survived the checkpoint restart and merged
+    # with post-restart events (the fixture's sessions are dense
+    # enough that the median-ts cut always bisects some session)
+    spanning = got.filter(
+        (F.col("session_start") <= F.lit(cut)) & (F.col("session_end") > F.lit(cut))
+    ).count()
+    assert spanning > 0
