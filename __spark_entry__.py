@@ -566,11 +566,15 @@ def _qf_model_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference model zoo (tune_extended_classifier.py:134-238): the
     reference trains several sklearn families (RF/GB/SVM) beside the
     logistic pipeline with the same 5-fold CV and picks the winner by
-    mean accuracy (`:227-238` max_by).  Here: TWO from-scratch
-    deterministic families — the logistic regression and the
-    gradient-boosted-stumps ensemble (`qfilter.model.fit_gb_stumps`)
-    — identical folds, per-family mean/std accuracy (q9-quantized
-    exact integers), winner = rank 1 by (mean DESC, model ASC)."""
+    mean accuracy (`:227-238` max_by).  Here: FIVE from-scratch
+    deterministic families matching the reference zoo's composition —
+    logistic regression, gradient-boosted stumps, bagged depth-2
+    random forest (`fit_rf_lite`), linear SVM (`fit_svm_linear`,
+    stand-in for the RBF SVC — documented), and the soft
+    VotingClassifier over all four (`zoo_soft_vote_proba`, reference
+    `:208-218`) — identical folds, per-family mean/std accuracy
+    (q9-quantized exact integers), winner = rank 1 by
+    (mean DESC, model ASC)."""
     from pyspark.sql import Window
 
     from qfilter.cascade import with_labels
@@ -585,24 +589,43 @@ def _qf_model_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from qfilter.tune import with_derived_features
 
+    from qfilter.model import (
+        rf_cv_models_from_features,
+        svm_cv_models_from_features,
+        with_rf_cv_scores,
+        with_vote_cv_scores,
+    )
+
     feats = with_derived_features(
         with_labels(with_all_features(_fixture_images(spark)))
     ).filter(F.col("error").isNull())
     lr_models = cv_models_from_features(feats)
     gb_models = gb_cv_models_from_features(feats)
+    rf_models = rf_cv_models_from_features(feats)
+    svm_models = svm_cv_models_from_features(feats)
     sample = (
         feats.withColumn("rn", F.row_number().over(Window.orderBy("image_id")))
         .filter(F.col("rn") <= TRAIN_SAMPLE_MAX)
         .withColumn("fold", ((F.col("rn") - F.lit(1)) % F.lit(CV_K)).cast("int"))
     )
+
+    def tagged(scored_df, name):
+        return scored_df.withColumn("model", F.lit(name)).select(
+            "model", "fold", "keep", "pred_keep"
+        )
+
     scored = (
-        with_cv_scores(sample, lr_models)
-        .withColumn("model", F.lit("logreg"))
-        .select("model", "fold", "keep", "pred_keep")
+        tagged(with_cv_scores(sample, lr_models), "logreg")
+        .unionByName(tagged(with_gb_cv_scores(sample, gb_models), "gb_stumps"))
+        .unionByName(tagged(with_rf_cv_scores(sample, rf_models), "rf_lite"))
+        .unionByName(tagged(with_cv_scores(sample, svm_models), "svm_linear"))
         .unionByName(
-            with_gb_cv_scores(sample, gb_models)
-            .withColumn("model", F.lit("gb_stumps"))
-            .select("model", "fold", "keep", "pred_keep")
+            tagged(
+                with_vote_cv_scores(
+                    sample, lr_models, gb_models, rf_models, svm_models
+                ),
+                "voting",
+            )
         )
     )
     per_fold = scored.groupBy("model", "fold").agg(
@@ -799,6 +822,59 @@ def oracle_sql() -> dict[str, str]:
             )
         _gb_cases.append(f"WHEN {_f} THEN {_ze}")
     gb_zcase = "CASE fold " + " ".join(_gb_cases) + " END"
+
+    # rf_lite: per-fold forests of depth-2 trees -> mean leaf prob
+    from make_oracle_sidecars import (
+        rf_cv_weights_from_labels_ref,
+        svm_cv_weights_from_labels_ref,
+    )
+
+    def _leaf(child):
+        _j, _t, _pl, _pr = child
+        if _t == float("inf"):
+            return f"CAST('{float(_pl)!r}' AS DOUBLE)"
+        return (
+            f"CASE WHEN {_terms[int(_j)]} <= CAST('{float(_t)!r}' AS DOUBLE) "
+            f"THEN CAST('{float(_pl)!r}' AS DOUBLE) "
+            f"ELSE CAST('{float(_pr)!r}' AS DOUBLE) END"
+        )
+
+    _rf_folds = rf_cv_weights_from_labels_ref(fdir, k=_cvk)
+    _rf_cases = []
+    for _f, _forest in enumerate(_rf_folds):
+        _pe = None
+        for _tr in _forest:
+            _te = (
+                f"CASE WHEN {_terms[int(_tr['feat'])]} <= "
+                f"CAST('{float(_tr['thr'])!r}' AS DOUBLE) "
+                f"THEN ({_leaf(_tr['l'])}) ELSE ({_leaf(_tr['r'])}) END"
+            )
+            _pe = f"({_te})" if _pe is None else f"({_pe} + {_te})"
+        _pe = f"({_pe} / CAST('{float(len(_forest))!r}' AS DOUBLE))"
+        _rf_cases.append(f"WHEN {_f} THEN {_pe}")
+    rf_pcase = "CASE fold " + " ".join(_rf_cases) + " END"
+
+    # svm_linear: affine per fold, same nesting as the LR chain
+    _svm_cases = []
+    for _f, (_fw, _fb) in enumerate(svm_cv_weights_from_labels_ref(fdir, k=_cvk)):
+        _ze = f"CAST('{_fb!r}' AS DOUBLE)"
+        for _wi, _t in zip(_fw, _terms):
+            _ze = f"({_ze} + CAST('{float(_wi)!r}' AS DOUBLE) * {_t})"
+        _svm_cases.append(f"WHEN {_f} THEN {_ze}")
+    svm_zcase = "CASE fold " + " ".join(_svm_cases) + " END"
+
+    # soft voting: (((rf_p + sig(gb)) + sig(lr)) + sig(svm)) / 4 — the
+    # same accumulation order as model.zoo_soft_vote_proba; exp() is
+    # libm on both engines (the scores come from Python UDFs, not JVM)
+    def _sig(z):
+        return (
+            f"(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-({z}))))"
+        )
+
+    vote_pexpr = (
+        f"((((({rf_pcase}) + {_sig(gb_zcase)}) + {_sig(cv_zcase)})"
+        f" + {_sig(svm_zcase)}) / CAST(4 AS DOUBLE))"
+    )
 
     dup_docs = (
         "SELECT doc_id, text, lang FROM documents "
@@ -1063,6 +1139,18 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'gb_stumps' AS model, fold, keep,
                      ({gb_zcase}) > CAST(0 AS DOUBLE) AS pred_keep
+              FROM s
+              UNION ALL
+              SELECT 'rf_lite' AS model, fold, keep,
+                     ({rf_pcase}) > CAST('0.5' AS DOUBLE) AS pred_keep
+              FROM s
+              UNION ALL
+              SELECT 'svm_linear' AS model, fold, keep,
+                     ({svm_zcase}) > CAST(0 AS DOUBLE) AS pred_keep
+              FROM s
+              UNION ALL
+              SELECT 'voting' AS model, fold, keep,
+                     ({vote_pexpr}) > CAST('0.5' AS DOUBLE) AS pred_keep
               FROM s
             ), pf AS (
               SELECT model, fold, count(*) AS n_test,

@@ -463,3 +463,266 @@ def with_gb_cv_scores(
     return df.withColumn(
         "pred_keep", pred(F.col(fold_col), *[F.col(f) for f in MODEL_FEATURES])
     )
+
+
+# ---------------------------------- model families 3-5: RF / SVM / vote
+#
+# Completing the reference zoo shape (tune_extended_classifier.py:
+# 134-225: RandomForest grid, GradientBoosting grid, LR grid, SVC,
+# soft VotingClassifier).  Same determinism discipline: fixed
+# iteration counts, integer-hash pseudo-randomness (no RNG state), no
+# BLAS, fixed accumulation orders.  The RBF-kernel SVC is replaced by
+# a from-scratch LINEAR SVM (documented deviation — kernel machines
+# need stateful solvers; the zoo's point is the bake-off shape), with
+# sigmoid(margin) as its soft probability (Platt-style with unit
+# scale, deterministic).
+
+RF_TREES = 8
+RF_DEPTH = 2  # root + one split per side = 4 leaves
+_HASH_A = 2654435761  # Knuth multiplicative constant
+
+
+def _tree_fit(X: np.ndarray, y: np.ndarray, feats: list[int]) -> dict:
+    """Depth-2 CART on the given feature subset: gini-gain splits over
+    `_stump_candidates` thresholds, leaf value = keep fraction."""
+
+    def best_split(idx):
+        yy = y[idx]
+        n = len(idx)
+        base = yy.sum()
+        best = (-np.inf, -1, 0.0)
+        for j in feats:
+            col = X[idx, j]
+            for t in _stump_candidates(col):
+                m = col <= t
+                nl = int(m.sum())
+                if nl == 0 or nl == n:
+                    continue
+                sl = float(yy[m].sum())
+                sr = base - sl
+                # negative weighted gini impurity (higher = better)
+                pl, pr = sl / nl, sr / (n - nl)
+                score = -(
+                    nl * (pl * (1.0 - pl)) + (n - nl) * (pr * (1.0 - pr))
+                )
+                if score > best[0]:
+                    best = (score, j, float(t))
+        return best
+
+    def leaf(idx):
+        return float(y[idx].sum()) / max(len(idx), 1)
+
+    all_idx = np.arange(len(X))
+    s0 = best_split(all_idx)
+    if s0[1] < 0:
+        p = leaf(all_idx)
+        return {"feat": 0, "thr": np.inf, "l": (0, np.inf, p, p),
+                "r": (0, np.inf, p, p)}
+    _, j0, t0 = s0
+    left = all_idx[X[all_idx, j0] <= t0]
+    right = all_idx[X[all_idx, j0] > t0]
+
+    def child(idx):
+        if len(idx) < 4:
+            p = leaf(idx)
+            return (0, np.inf, p, p)
+        s = best_split(idx)
+        if s[1] < 0:
+            p = leaf(idx)
+            return (0, np.inf, p, p)
+        _, j, t = s
+        m = X[idx, j] <= t
+        return (j, t, leaf(idx[m]), leaf(idx[~m]))
+
+    return {"feat": j0, "thr": t0, "l": child(left), "r": child(right)}
+
+
+def fit_rf_lite(X: np.ndarray, y: np.ndarray, trees: int = RF_TREES) -> list[dict]:
+    """Bagged depth-2 trees: per-tree bootstrap rows and feature
+    subsets from integer hashes (deterministic in any process).
+    predict_proba(x) = mean over trees of the leaf keep-fraction,
+    accumulated in tree order."""
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n, d = X.shape
+    forest = []
+    for t in range(trees):
+        rows = ((np.arange(n, dtype=np.uint64) * _HASH_A + 40503 * (t + 1))
+                % (2**32)) % n
+        feats = sorted(
+            j for j in range(d) if (j * _HASH_A + t) % 4 != 0
+        ) or list(range(d))
+        forest.append(_tree_fit(X[rows.astype(np.int64)], y[rows.astype(np.int64)], feats))
+    return forest
+
+
+def rf_proba(X: np.ndarray, forest: list[dict]) -> np.ndarray:
+    """Mean leaf probability over trees, t-order accumulation (the
+    oracle SQL nests the identical CASE chain)."""
+    X = np.asarray(X, dtype=np.float64)
+    p = np.zeros(len(X), dtype=np.float64)
+    for tr in forest:
+        root = X[:, tr["feat"]] <= tr["thr"]
+        jl, tl, pll, plr = tr["l"]
+        jr, trr, prl, prr = tr["r"]
+        pl = np.where(X[:, jl] <= tl, pll, plr)
+        pr = np.where(X[:, jr] <= trr, prl, prr)
+        p = p + np.where(root, pl, pr)
+    return p / float(len(forest))
+
+
+SVM_LR = 0.5
+SVM_ITERS = 300
+SVM_L2 = 1e-3
+
+
+def fit_svm_linear(
+    X: np.ndarray,
+    y: np.ndarray,
+    lr: float = SVM_LR,
+    iters: int = SVM_ITERS,
+    l2: float = SVM_L2,
+) -> tuple[np.ndarray, float]:
+    """Linear SVM by full-batch subgradient descent on the hinge loss
+    with internal standardization folded back into raw-feature weights
+    (same shape discipline as `fit_logreg`).  Returns (w_raw, b_raw)."""
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    yy = np.where(np.asarray(y, dtype=np.float64) > 0.5, 1.0, -1.0)
+    mu = X.mean(axis=0)
+    sd = X.std(axis=0)
+    sd = np.where(sd > 1e-9 * np.maximum(1.0, np.abs(mu)), sd, 1.0)
+    Xs = (X - mu) / sd
+    n, d = Xs.shape
+    w = np.zeros(d, dtype=np.float64)
+    b = 0.0
+    for _ in range(iters):
+        z = b + (Xs * w).sum(axis=1)
+        viol = (yy * z) < 1.0
+        gw = -(Xs * (yy * viol)[:, None]).sum(axis=0) / n + l2 * w
+        gb = -float((yy * viol).sum()) / n
+        w = w - lr * gw
+        b = b - lr * gb
+    return w / sd, float(b - float((w * mu / sd).sum()))
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-z))
+
+
+def zoo_soft_vote_proba(
+    X: np.ndarray,
+    lr_model: tuple[np.ndarray, float],
+    gb_model: dict,
+    forest: list[dict],
+    svm_model: tuple[np.ndarray, float],
+) -> np.ndarray:
+    """Reference soft VotingClassifier (`tune:208-218`, estimators rf /
+    gb / lr / svm): mean of the four probabilities, fixed order
+    (((rf + gb) + lr) + svm) / 4.  Probabilities: leaf fractions for
+    RF, sigmoid of the boosted margin for GB, sigmoid of the affine
+    scores for LR / linear-SVM.  exp() runs in numpy on the executors
+    and in the SQL engine for the oracle — both libm on one machine,
+    bit-identical (asserted by the hash gate)."""
+    X = np.ascontiguousarray(X, dtype=np.float64)
+
+    def affine(m):
+        w, b = m
+        z = np.full(len(X), b, dtype=np.float64)
+        for i in range(X.shape[1]):
+            z = z + w[i] * X[:, i]
+        return z
+
+    p_rf = rf_proba(X, forest)
+    zg = np.full(len(X), gb_model["f0"], dtype=np.float64)
+    for k in range(len(gb_model["feat"])):
+        zg = zg + np.where(
+            X[:, gb_model["feat"][k]] <= gb_model["thr"][k],
+            gb_model["val_l"][k], gb_model["val_r"][k],
+        )
+    p_gb = _sigmoid(zg)
+    p_lr = _sigmoid(affine(lr_model))
+    p_svm = _sigmoid(affine(svm_model))
+    return (((p_rf + p_gb) + p_lr) + p_svm) / 4.0
+
+
+def rf_cv_models_from_features(
+    features: DataFrame, k: int = CV_K, label_col: str = "keep",
+    order_col: str = "image_id", sample_max: int = TRAIN_SAMPLE_MAX,
+) -> list[list[dict]]:
+    rows = (
+        features.select(order_col, label_col, *MODEL_FEATURES)
+        .orderBy(order_col).limit(sample_max).collect()
+    )
+    X = np.asarray([[float(r[f]) for f in MODEL_FEATURES] for r in rows])
+    y = np.asarray([1.0 if r[label_col] else 0.0 for r in rows])
+    folds = np.arange(len(rows)) % k
+    return [fit_rf_lite(X[folds != f], y[folds != f]) for f in range(k)]
+
+
+def svm_cv_models_from_features(
+    features: DataFrame, k: int = CV_K, label_col: str = "keep",
+    order_col: str = "image_id", sample_max: int = TRAIN_SAMPLE_MAX,
+) -> list[tuple[np.ndarray, float]]:
+    rows = (
+        features.select(order_col, label_col, *MODEL_FEATURES)
+        .orderBy(order_col).limit(sample_max).collect()
+    )
+    X = np.asarray([[float(r[f]) for f in MODEL_FEATURES] for r in rows])
+    y = np.asarray([1.0 if r[label_col] else 0.0 for r in rows])
+    folds = np.arange(len(rows)) % k
+    return [fit_svm_linear(X[folds != f], y[folds != f]) for f in range(k)]
+
+
+def with_rf_cv_scores(
+    df: DataFrame, forests: list[list[dict]], fold_col: str = "fold"
+) -> DataFrame:
+    """Held-out RF prediction: leaf-fraction mean > 0.5."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(forests)
+
+    @F.pandas_udf(T.BooleanType())
+    def pred(fold: pd.Series, *cols: pd.Series) -> pd.Series:
+        fs = bc.value
+        fidx = fold.to_numpy(dtype=np.int64)
+        X = np.column_stack([c.to_numpy(dtype=np.float64) for c in cols])
+        out = np.empty(len(fidx), dtype=bool)
+        for f, forest in enumerate(fs):
+            sel = fidx == f
+            if sel.any():
+                out[sel] = rf_proba(X[sel], forest) > 0.5
+        return pd.Series(out)
+
+    return df.withColumn(
+        "pred_keep", pred(F.col(fold_col), *[F.col(f) for f in MODEL_FEATURES])
+    )
+
+
+def with_vote_cv_scores(
+    df: DataFrame,
+    lr_models: list,
+    gb_models: list,
+    forests: list,
+    svm_models: list,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Held-out soft-voting prediction: mean of the four per-family
+    probabilities > 0.5 (reference VotingClassifier(voting='soft'))."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((lr_models, gb_models, forests, svm_models))
+
+    @F.pandas_udf(T.BooleanType())
+    def pred(fold: pd.Series, *cols: pd.Series) -> pd.Series:
+        lrs, gbs, fs, svms = bc.value
+        fidx = fold.to_numpy(dtype=np.int64)
+        X = np.column_stack([c.to_numpy(dtype=np.float64) for c in cols])
+        out = np.empty(len(fidx), dtype=bool)
+        for f in range(len(lrs)):
+            sel = fidx == f
+            if sel.any():
+                p = zoo_soft_vote_proba(X[sel], lrs[f], gbs[f], fs[f], svms[f])
+                out[sel] = p > 0.5
+        return pd.Series(out)
+
+    return df.withColumn(
+        "pred_keep", pred(F.col(fold_col), *[F.col(f) for f in MODEL_FEATURES])
+    )

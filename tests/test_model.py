@@ -199,3 +199,69 @@ def test_gb_beats_or_ties_logreg_on_nonlinear_signal():
     zl = b + X @ w
     acc_lr = float(((zl > 0) == (y > 0.5)).mean())
     assert acc_gb > acc_lr + 0.1
+
+
+def test_rf_svm_spark_training_matches_labels_ref(spark):
+    """RF-lite and linear-SVM fold models: Spark-sample training ==
+    single-node labels_ref retraining, exactly (the qf_model_zoo
+    oracle embeds these as literals)."""
+    from make_fixtures import ensure_fixtures
+    from make_oracle_sidecars import (
+        rf_cv_weights_from_labels_ref,
+        svm_cv_weights_from_labels_ref,
+    )
+
+    from qfilter.model import (
+        rf_cv_models_from_features,
+        svm_cv_models_from_features,
+    )
+
+    feats = _spark_features(spark)
+    fdir = ensure_fixtures("smoke")
+    for a, b in zip(rf_cv_models_from_features(feats), rf_cv_weights_from_labels_ref(fdir)):
+        assert len(a) == len(b)
+        for ta, tb in zip(a, b):
+            assert ta == tb
+    for (wa, ba), (wb, bb) in zip(
+        svm_cv_models_from_features(feats), svm_cv_weights_from_labels_ref(fdir)
+    ):
+        assert np.array_equal(wa, wb) and ba == bb
+
+
+def test_rf_and_svm_learn_separable_signals():
+    from qfilter.model import MODEL_FEATURES, fit_rf_lite, fit_svm_linear, rf_proba
+
+    rng = np.random.default_rng(13)
+    X = rng.normal(size=(500, len(MODEL_FEATURES)))
+    y = (X[:, 2] > 0.2).astype(np.float64)
+    forest = fit_rf_lite(X, y)
+    acc_rf = float(((rf_proba(X, forest) > 0.5) == (y > 0.5)).mean())
+    assert acc_rf > 0.9
+    w, b = fit_svm_linear(X, y)
+    acc_svm = float((((b + X @ w) > 0) == (y > 0.5)).mean())
+    assert acc_svm > 0.9
+
+
+def test_soft_vote_blends_families():
+    from qfilter.model import (
+        MODEL_FEATURES,
+        fit_gb_stumps,
+        fit_logreg,
+        fit_rf_lite,
+        fit_svm_linear,
+        zoo_soft_vote_proba,
+    )
+
+    rng = np.random.default_rng(17)
+    X = rng.normal(size=(400, len(MODEL_FEATURES)))
+    y = (X[:, 0] + X[:, 1] > 0).astype(np.float64)
+    p = zoo_soft_vote_proba(
+        X,
+        fit_logreg(X, y),
+        fit_gb_stumps(X, y),
+        fit_rf_lite(X, y),
+        fit_svm_linear(X, y),
+    )
+    assert p.min() >= 0.0 and p.max() <= 1.0
+    acc = float(((p > 0.5) == (y > 0.5)).mean())
+    assert acc > 0.9

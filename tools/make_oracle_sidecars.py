@@ -621,6 +621,24 @@ def gb_cv_weights_from_labels_ref(fixture_dir: str, k: int = 5) -> list:
     return [fit_gb_stumps(X[folds != f], y[folds != f]) for f in range(k)]
 
 
+def rf_cv_weights_from_labels_ref(fixture_dir: str, k: int = 5) -> list:
+    """Oracle twin of qfilter.model.rf_cv_models_from_features."""
+    from qfilter.model import fit_rf_lite
+
+    X, y = _labels_ref_Xy(fixture_dir)
+    folds = np.arange(len(X)) % k
+    return [fit_rf_lite(X[folds != f], y[folds != f]) for f in range(k)]
+
+
+def svm_cv_weights_from_labels_ref(fixture_dir: str, k: int = 5) -> list:
+    """Oracle twin of qfilter.model.svm_cv_models_from_features."""
+    from qfilter.model import fit_svm_linear
+
+    X, y = _labels_ref_Xy(fixture_dir)
+    folds = np.arange(len(X)) % k
+    return [fit_svm_linear(X[folds != f], y[folds != f]) for f in range(k)]
+
+
 _SELF_DEP = "tools/make_oracle_sidecars.py"
 
 
