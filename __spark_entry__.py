@@ -792,12 +792,13 @@ def oracle_sql() -> dict[str, str]:
 
     # qf_model_cv: five per-fold weight sets, same round-trip-exact
     # literal embedding; the CASE picks each row's held-out model.
-    from make_oracle_sidecars import model_cv_weights_from_labels_ref
+    from make_oracle_sidecars import zoo_cv_cache
     from qfilter.model import CV_K as _cvk
     from qfilter.model import TRAIN_SAMPLE_MAX as _tsm
 
+    _zoo = zoo_cv_cache(fdir, k=_cvk)
     _cv_cases = []
-    for _f, (_fw, _fb) in enumerate(model_cv_weights_from_labels_ref(fdir, k=_cvk)):
+    for _f, (_fw, _fb) in enumerate(_zoo["lr"]):
         _ze = f"CAST('{_fb!r}' AS DOUBLE)"
         for _wi, _t in zip(_fw, _terms):
             _ze = f"({_ze} + CAST('{float(_wi)!r}' AS DOUBLE) * {_t})"
@@ -807,10 +808,8 @@ def oracle_sql() -> dict[str, str]:
     # qf_model_zoo second family: per-fold GB-stump ensembles, each a
     # left-to-right nested chain of CASE terms (identical accumulation
     # order to qfilter.model.with_gb_cv_scores).
-    from make_oracle_sidecars import gb_cv_weights_from_labels_ref
-
     _gb_cases = []
-    for _f, _m in enumerate(gb_cv_weights_from_labels_ref(fdir, k=_cvk)):
+    for _f, _m in enumerate(_zoo["gb"]):
         _ze = f"CAST('{float(_m['f0'])!r}' AS DOUBLE)"
         for _k in range(len(_m["feat"])):
             _t = _terms[int(_m["feat"][_k])]
@@ -824,11 +823,6 @@ def oracle_sql() -> dict[str, str]:
     gb_zcase = "CASE fold " + " ".join(_gb_cases) + " END"
 
     # rf_lite: per-fold forests of depth-2 trees -> mean leaf prob
-    from make_oracle_sidecars import (
-        rf_cv_weights_from_labels_ref,
-        svm_cv_weights_from_labels_ref,
-    )
-
     def _leaf(child):
         _j, _t, _pl, _pr = child
         if _t == float("inf"):
@@ -839,7 +833,7 @@ def oracle_sql() -> dict[str, str]:
             f"ELSE CAST('{float(_pr)!r}' AS DOUBLE) END"
         )
 
-    _rf_folds = rf_cv_weights_from_labels_ref(fdir, k=_cvk)
+    _rf_folds = _zoo["rf"]
     _rf_cases = []
     for _f, _forest in enumerate(_rf_folds):
         _pe = None
@@ -856,7 +850,7 @@ def oracle_sql() -> dict[str, str]:
 
     # svm_linear: affine per fold, same nesting as the LR chain
     _svm_cases = []
-    for _f, (_fw, _fb) in enumerate(svm_cv_weights_from_labels_ref(fdir, k=_cvk)):
+    for _f, (_fw, _fb) in enumerate(_zoo["svm"]):
         _ze = f"CAST('{_fb!r}' AS DOUBLE)"
         for _wi, _t in zip(_fw, _terms):
             _ze = f"({_ze} + CAST('{float(_wi)!r}' AS DOUBLE) * {_t})"

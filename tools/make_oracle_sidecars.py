@@ -639,6 +639,91 @@ def svm_cv_weights_from_labels_ref(fixture_dir: str, k: int = 5) -> list:
     return [fit_svm_linear(X[folds != f], y[folds != f]) for f in range(k)]
 
 
+def zoo_cv_cache(fixture_dir: str, k: int = 5) -> dict:
+    """All five zoo families' per-fold models, retrained from
+    labels_ref once and cached as a dep-hashed JSON sidecar (floats
+    via repr — exact round-trip; no pickled code).  Saves ~3 minutes
+    per oracle_sql() build; a qfilter/model.py edit auto-invalidates."""
+    import json
+
+    tier = os.path.basename(os.path.normpath(fixture_dir))
+    path = os.path.join(OUT_DIR, f"zoo_cv_{tier}.json")
+    meta = path + ".deps.json"
+    deps = (_SELF_DEP, "qfilter/model.py", "tools/make_fixtures.py")
+    want = _dep_hash(deps)
+    if os.path.exists(path) and os.path.exists(meta):
+        try:
+            with open(meta) as f:
+                if json.load(f)["sha256"] == want:
+                    with open(path) as f:
+                        raw = json.load(f)
+                    return _zoo_cache_decode(raw)
+        except Exception:  # noqa: BLE001 — corrupt cache -> rebuild
+            pass
+    lr = model_cv_weights_from_labels_ref(fixture_dir, k=k)
+    gb = gb_cv_weights_from_labels_ref(fixture_dir, k=k)
+    rf = rf_cv_weights_from_labels_ref(fixture_dir, k=k)
+    svm = svm_cv_weights_from_labels_ref(fixture_dir, k=k)
+    raw = {
+        "lr": [[list(map(float, w)), float(b)] for w, b in lr],
+        "gb": [
+            {
+                "f0": float(m["f0"]),
+                "feat": [int(x) for x in m["feat"]],
+                "thr": [float(x) for x in m["thr"]],
+                "val_l": [float(x) for x in m["val_l"]],
+                "val_r": [float(x) for x in m["val_r"]],
+            }
+            for m in gb
+        ],
+        "rf": [
+            [
+                {
+                    "feat": int(t["feat"]), "thr": float(t["thr"]),
+                    "l": [float(x) for x in t["l"]],
+                    "r": [float(x) for x in t["r"]],
+                }
+                for t in forest
+            ]
+            for forest in rf
+        ],
+        "svm": [[list(map(float, w)), float(b)] for w, b in svm],
+    }
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(raw, f)
+    with open(meta, "w") as f:
+        json.dump({"sha256": want, "deps": list(deps)}, f, indent=1)
+    return _zoo_cache_decode(raw)
+
+
+def _zoo_cache_decode(raw: dict) -> dict:
+    return {
+        "lr": [(np.asarray(w, dtype=np.float64), float(b)) for w, b in raw["lr"]],
+        "gb": [
+            {
+                "f0": float(m["f0"]),
+                "feat": np.asarray(m["feat"], dtype=np.int64),
+                "thr": np.asarray(m["thr"], dtype=np.float64),
+                "val_l": np.asarray(m["val_l"], dtype=np.float64),
+                "val_r": np.asarray(m["val_r"], dtype=np.float64),
+            }
+            for m in raw["gb"]
+        ],
+        "rf": [
+            [
+                {
+                    "feat": int(t["feat"]), "thr": float(t["thr"]),
+                    "l": tuple(t["l"]), "r": tuple(t["r"]),
+                }
+                for t in forest
+            ]
+            for forest in raw["rf"]
+        ],
+        "svm": [(np.asarray(w, dtype=np.float64), float(b)) for w, b in raw["svm"]],
+    }
+
+
 _SELF_DEP = "tools/make_oracle_sidecars.py"
 
 
