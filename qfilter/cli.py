@@ -54,7 +54,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     tr_p.add_argument("--input", required=True, help="features+keep parquet")
     tr_p.add_argument("--model-out", required=True, help=".npz artifact path")
-    tr_p.add_argument("--family", choices=["logreg", "gb"], default="logreg")
+    tr_p.add_argument(
+        "--family", choices=["logreg", "gb", "svm"], default="logreg",
+        help="logreg / gb stumps / linear svm (affine families share "
+        "the .npz artifact shape)",
+    )
     tr_p.add_argument("--master", default=None)
 
     enh_p = sub.add_parser(
@@ -126,6 +130,26 @@ def main(argv: list[str] | None = None) -> int:
             from .model import save_model, train_from_features
 
             w, b = train_from_features(feats)
+            save_model(args.model_out, w, b)
+        elif args.family == "svm":
+            import numpy as np
+
+            from .model import (
+                MODEL_FEATURES,
+                TRAIN_SAMPLE_MAX,
+                fit_svm_linear,
+                save_model,
+            )
+
+            rows = (
+                feats.select("image_id", "keep", *MODEL_FEATURES)
+                .orderBy("image_id")
+                .limit(TRAIN_SAMPLE_MAX)
+                .collect()
+            )
+            X = np.asarray([[float(r[f]) for f in MODEL_FEATURES] for r in rows])
+            y = np.asarray([1.0 if r["keep"] else 0.0 for r in rows])
+            w, b = fit_svm_linear(X, y)
             save_model(args.model_out, w, b)
         else:
             from .model import gb_train_from_features, save_gb
