@@ -21,6 +21,16 @@ Measurement protocol (round-3 hardening):
 
 The e2e stage is materialized with a parquet write — a count() would
 let Catalyst prune the feature UDFs away and time nothing.
+
+Round-4 hardening: the final stdout line is kept COMPACT (the driver
+captures only a bounded tail of stdout, and the r03 line outgrew it
+once per-query executor metrics were embedded — the headline shipped
+unparsed).  Full walls + executor metrics now go to the sidecar
+``BENCH/details_last.json``; stdout carries medians and headline
+numbers only.  A second headline, ``qfilter_e2e_4x``, times the same
+e2e job at 4x the input volume (median-of-RUNS, warm-up discarded) in
+a memory-isolated child process — the 120k-row e2e finishes near the
+shared-VM noise floor, the 480k-row run does not.
 """
 
 from __future__ import annotations
@@ -282,6 +292,23 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     timings, walls, metrics, n_images, keep_f1 = run_suite(spark, SF_DIR, BENCH_TIER)
+    spark.stop()
+
+    # 4x-volume headline in an isolated child (own heap sized to the
+    # data; the main session's cached 1x rows would skew it)
+    vol4 = None
+    if os.environ.get("QFILTER_BENCH_4X", "1") != "0":
+        sys.path.insert(0, os.path.join(REPO, "BENCH"))
+        from run_volume import run_level
+
+        try:
+            vol4 = run_level(CPUS, 4, RUNS)
+        except SystemExit as e:
+            sys.stderr.write(f"qfilter_e2e_4x skipped: {e}\n")
+    if vol4 is not None:
+        timings["qfilter_e2e_4x"] = round(vol4["median"], 3)
+        walls["qfilter_e2e_4x"] = [round(w, 3) for w in vol4["walls"]]
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "qfilter bench suite wall time (e2e filter + operator suite)",
@@ -292,15 +319,21 @@ def main() -> None:
         "images": n_images,
         "images_per_sec": round(n_images / timings["qfilter_e2e"], 1),
         "stream_images_per_sec": round(n_images / timings["stream_qfilter_e2e"], 1),
-        "e2e_walls": walls["qfilter_e2e"],  # back-compat alias
-        "walls": walls,
         "runs_per_query": RUNS,
-        "metrics": metrics,
         "keep_f1_vs_oracle": round(keep_f1, 6),
         "cpus": CPUS,
     }
+    if vol4 is not None:
+        out["images_4x"] = vol4["rows"]
+        out["images_per_sec_4x"] = round(vol4["rows"] / vol4["median"], 1)
+    # full per-run walls + executor metrics -> sidecar, NOT stdout:
+    # the driver records only a bounded tail of stdout and the r03
+    # headline outgrew it (VERDICT r3 "What's wrong" #3)
+    details_path = os.path.join(REPO, "BENCH", "details_last.json")
+    with open(details_path, "w") as f:
+        json.dump({**out, "walls": walls, "metrics": metrics}, f, indent=1)
+    out["details"] = "BENCH/details_last.json"
     print(json.dumps(out))
-    spark.stop()
 
 
 if __name__ == "__main__":

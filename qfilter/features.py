@@ -132,8 +132,9 @@ def _image_features_udf(
         rows[i] = feats
     # fix the column order to the schema: the batch dicts insert keys
     # in stage order, not schema order, and Spark maps struct fields
-    # positionally
-    return pd.DataFrame(rows)[[f.name for f in IMAGE_FEATURES_SCHEMA]]
+    # positionally (explicit columns= also keeps a zero-row batch from
+    # producing a column-less frame that the reindex would KeyError on)
+    return pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA])
 
 
 CAPTION_FEATURES_SCHEMA = T.StructType(

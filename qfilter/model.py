@@ -34,6 +34,8 @@ doubles):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -606,7 +608,19 @@ def fit_svm_linear(
 
 
 def _sigmoid(z: np.ndarray) -> np.ndarray:
-    return 1.0 / (1.0 + np.exp(-z))
+    # scalar libm exp per element, NOT np.exp: numpy >= 1.22 ships its
+    # own SIMD exp that can differ from glibc libm by 1 ulp, while the
+    # qf_model_zoo oracle's DuckDB exp() IS libm — a scalar math.exp
+    # loop keeps both engines on one code path (only runs over the
+    # <= TRAIN_SAMPLE_MAX CV sample, never the corpus hot path).
+    out = np.empty(len(z), dtype=np.float64)
+    for i, v in enumerate(z.astype(np.float64, copy=False)):
+        try:
+            e = math.exp(-float(v))
+        except OverflowError:  # libm would return +inf -> sigmoid 0.0
+            e = math.inf
+        out[i] = 1.0 / (1.0 + e)
+    return out
 
 
 def zoo_soft_vote_proba(
@@ -620,9 +634,11 @@ def zoo_soft_vote_proba(
     gb / lr / svm): mean of the four probabilities, fixed order
     (((rf + gb) + lr) + svm) / 4.  Probabilities: leaf fractions for
     RF, sigmoid of the boosted margin for GB, sigmoid of the affine
-    scores for LR / linear-SVM.  exp() runs in numpy on the executors
-    and in the SQL engine for the oracle — both libm on one machine,
-    bit-identical (asserted by the hash gate)."""
+    scores for LR / linear-SVM.  Sigmoids go through `_sigmoid`'s
+    scalar math.exp loop (glibc libm), the same libm the oracle's
+    DuckDB exp() calls — numpy's SIMD exp is deliberately avoided so
+    bit-parity doesn't rest on a numpy-build coincidence (ADVICE r3);
+    any residual divergence is still caught loudly by the hash gate."""
     X = np.ascontiguousarray(X, dtype=np.float64)
 
     def affine(m):

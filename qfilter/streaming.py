@@ -281,7 +281,12 @@ def stream_event_sessions_custom(
                         [s[2] for s in keep], [str(s[3]) for s in keep],
                     )
                 )
-                state.setTimeoutTimestamp(min(s[1] for s in keep) // 1000 + gap_us // 1000)
+                # ceil to ms: a floored timeout can land <= the current
+                # watermark for sub-ms event times, and
+                # setTimeoutTimestamp rejects non-future stamps
+                state.setTimeoutTimestamp(
+                    -((-(min(s[1] for s in keep) + gap_us)) // 1000)
+                )
             else:
                 state.remove()
             if done:
@@ -323,7 +328,12 @@ def stream_event_sessions_custom(
                     [s[2] for s in keep], [str(s[3]) for s in keep],
                 )
             )
-            state.setTimeoutTimestamp(min(s[1] for s in keep) // 1000 + gap_us // 1000)
+            # ceil to ms: a floored timeout can land <= the current
+            # watermark for sub-ms event times, and
+            # setTimeoutTimestamp rejects non-future stamps
+            state.setTimeoutTimestamp(
+                -((-(min(s[1] for s in keep) + gap_us)) // 1000)
+            )
         else:
             state.remove()
         if done:
