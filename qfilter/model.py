@@ -302,6 +302,7 @@ def fit_gb_stumps(
     thr = np.zeros(rounds, dtype=np.float64)
     val_l = np.zeros(rounds, dtype=np.float64)
     val_r = np.zeros(rounds, dtype=np.float64)
+    gain_arr = np.zeros(rounds, dtype=np.float64)
     Fv = np.zeros(n, dtype=np.float64)
     for k in range(rounds):
         p = 1.0 / (1.0 + np.exp(-Fv))
@@ -320,8 +321,9 @@ def fit_gb_stumps(
                 gain = sl * sl / nl + sr * sr / (n - nl)
                 if gain > best[0]:
                     best = (gain, j, float(t))
-        _, j, t = best
+        gbest, j, t = best
         m = X[:, j] <= t
+        gain_arr[k] = gbest  # variance-reduction score of the round
         hl = float(h[m].sum())
         hr = float(h[~m].sum())
         gl = float(np.clip(float(r[m].sum()) / max(hl, 1e-9), -4.0, 4.0))
@@ -331,7 +333,8 @@ def fit_gb_stumps(
         val_l[k] = lr * gl
         val_r[k] = lr * gr
         Fv = Fv + np.where(m, val_l[k], val_r[k])
-    return {"f0": 0.0, "feat": feat, "thr": thr, "val_l": val_l, "val_r": val_r}
+    return {"f0": 0.0, "feat": feat, "thr": thr, "val_l": val_l,
+            "val_r": val_r, "gain": gain_arr}
 
 
 def gb_train_from_features(
@@ -486,7 +489,19 @@ _HASH_A = 2654435761  # Knuth multiplicative constant
 
 def _tree_fit(X: np.ndarray, y: np.ndarray, feats: list[int]) -> dict:
     """Depth-2 CART on the given feature subset: gini-gain splits over
-    `_stump_candidates` thresholds, leaf value = keep fraction."""
+    `_stump_candidates` thresholds, leaf value = keep fraction.
+
+    Each realized split also records its impurity decrease in
+    ``gains`` as (feature, gain) pairs in split order (root, left,
+    right) — the raw material for `feature_importance_rows`
+    (reference feature_importances_, tune_extended_classifier.py:
+    244-251)."""
+
+    def parent_impurity(idx):
+        # total (unnormalized) gini of the node: n * p * (1 - p)
+        n = len(idx)
+        p = float(y[idx].sum()) / max(n, 1)
+        return n * (p * (1.0 - p))
 
     def best_split(idx):
         yy = y[idx]
@@ -515,12 +530,16 @@ def _tree_fit(X: np.ndarray, y: np.ndarray, feats: list[int]) -> dict:
         return float(y[idx].sum()) / max(len(idx), 1)
 
     all_idx = np.arange(len(X))
+    gains: list[tuple[int, float]] = []
     s0 = best_split(all_idx)
     if s0[1] < 0:
         p = leaf(all_idx)
         return {"feat": 0, "thr": np.inf, "l": (0, np.inf, p, p),
-                "r": (0, np.inf, p, p)}
+                "r": (0, np.inf, p, p), "gains": gains}
     _, j0, t0 = s0
+    # best_split's score is -(weighted child gini total), so the
+    # impurity DECREASE of the split is parent_total + score
+    gains.append((int(j0), parent_impurity(all_idx) + s0[0]))
     left = all_idx[X[all_idx, j0] <= t0]
     right = all_idx[X[all_idx, j0] > t0]
 
@@ -533,10 +552,12 @@ def _tree_fit(X: np.ndarray, y: np.ndarray, feats: list[int]) -> dict:
             p = leaf(idx)
             return (0, np.inf, p, p)
         _, j, t = s
+        gains.append((int(j), parent_impurity(idx) + s[0]))
         m = X[idx, j] <= t
         return (j, t, leaf(idx[m]), leaf(idx[~m]))
 
-    return {"feat": j0, "thr": t0, "l": child(left), "r": child(right)}
+    return {"feat": j0, "thr": t0, "l": child(left), "r": child(right),
+            "gains": gains}
 
 
 def fit_rf_lite(X: np.ndarray, y: np.ndarray, trees: int = RF_TREES) -> list[dict]:
@@ -623,18 +644,186 @@ def _sigmoid(z: np.ndarray) -> np.ndarray:
     return out
 
 
+# --------------------------------- RBF-kernel SVC via random Fourier
+# features (round 4, closing the documented linear stand-in).  The
+# reference zoo races SVC(kernel='rbf', probability=True)
+# (tune_extended_classifier.py:196,213); a true kernel machine needs a
+# stateful QP solver, but the Rahimi-Recht random-features map
+# cos(w.x + b) with w ~ N(0, 2*gamma*I) approximates the RBF kernel
+# and turns the fit into the SAME deterministic linear subgradient
+# problem already used for `fit_svm_linear` — honest, from-scratch,
+# and SQL-expressible (the oracle nests D cos() terms).
+
+RFF_D = 16  # random features; SQL oracle nests D cos terms per fold
+
+
+def _hash_unit(i: int) -> float:
+    """Deterministic uniform in (0, 1) from an integer index — no RNG
+    state, identical in any process (same discipline as `fit_rf_lite`'s
+    bootstrap hashes)."""
+    h = (i * _HASH_A + 12345) % (2 ** 32)
+    return (h + 0.5) / 2.0 ** 32
+
+
+def fit_svm_rff(
+    X: np.ndarray,
+    y: np.ndarray,
+    D: int = RFF_D,
+    lr: float = SVM_LR,
+    iters: int = SVM_ITERS,
+    l2: float = SVM_L2,
+) -> dict:
+    """RBF-approximating SVM: standardize, map through D random
+    Fourier features z_k = sqrt(2/D) * cos(w_k . s + b_k) with
+    w_k ~ N(0, 2*gamma*I) (gamma = 1/d, sklearn's 'scale' on
+    standardized features), then hinge-loss subgradient descent in
+    z-space.  All pseudo-randomness is integer-hash Box-Muller —
+    deterministic in any process.  Returns a dict model
+    {mu, sd, W, B, scale, w, b}; score via `svm_rff_margin`."""
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    yy = np.where(np.asarray(y, dtype=np.float64) > 0.5, 1.0, -1.0)
+    n, d = X.shape
+    mu = X.mean(axis=0)
+    sd = X.std(axis=0)
+    sd = np.where(sd > 1e-9 * np.maximum(1.0, np.abs(mu)), sd, 1.0)
+    S = (X - mu) / sd
+    gamma = 1.0 / d
+    gstd = math.sqrt(2.0 * gamma)
+    W = np.empty((D, d), dtype=np.float64)
+    B = np.empty(D, dtype=np.float64)
+    for k in range(D):
+        for j in range(d):
+            u1 = _hash_unit(k * 131 + j * 2 + 1)
+            u2 = _hash_unit(k * 131 + j * 2 + 2)
+            W[k, j] = gstd * math.sqrt(-2.0 * math.log(u1)) * math.cos(
+                2.0 * math.pi * u2
+            )
+        B[k] = 2.0 * math.pi * _hash_unit(100003 + k)
+    scale = math.sqrt(2.0 / D)
+    # feature map with the same left-to-right accumulation the oracle
+    # SQL nests; cos is scalar libm (see _sigmoid for why not np.cos)
+    Z = _rff_features(S, W, B, scale)
+    w = np.zeros(D, dtype=np.float64)
+    b = 0.0
+    for _ in range(iters):
+        z = b + (Z * w).sum(axis=1)
+        viol = (yy * z) < 1.0
+        gw = -(Z * (yy * viol)[:, None]).sum(axis=0) / n + l2 * w
+        gb = -float((yy * viol).sum()) / n
+        w = w - lr * gw
+        b = b - lr * gb
+    return {"mu": mu, "sd": sd, "W": W, "B": B, "scale": scale,
+            "w": w, "b": float(b)}
+
+
+def _rff_features(S: np.ndarray, W: np.ndarray, B: np.ndarray,
+                  scale: float) -> np.ndarray:
+    """scale * cos(B_k + sum_j W_kj * s_j), per-feature left-to-right
+    elementwise adds (no matmul) and scalar libm cos — the oracle
+    SQL's identically-nested chain over DuckDB's libm cos produces
+    bit-identical doubles."""
+    n = len(S)
+    D = len(B)
+    Z = np.empty((n, D), dtype=np.float64)
+    for k in range(D):
+        zk = np.full(n, B[k], dtype=np.float64)
+        for j in range(S.shape[1]):
+            zk = zk + W[k, j] * S[:, j]
+        for i in range(n):
+            Z[i, k] = scale * math.cos(zk[i])
+    return Z
+
+
+def svm_rff_margin(X: np.ndarray, model: dict) -> np.ndarray:
+    """margin = b + sum_k w_k * z_k, k-order accumulation (the oracle
+    nests the identical chain); pred = margin > 0, proba =
+    sigmoid(margin) (Platt-style unit scale, as the linear family)."""
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    S = (X - model["mu"]) / model["sd"]
+    Z = _rff_features(S, model["W"], model["B"], model["scale"])
+    m = np.full(len(X), model["b"], dtype=np.float64)
+    w = model["w"]
+    for k in range(len(w)):
+        m = m + w[k] * Z[:, k]
+    return m
+
+
+def svm_rff_cv_models_from_features(
+    features: DataFrame, k: int = CV_K, label_col: str = "keep",
+    order_col: str = "image_id", sample_max: int = TRAIN_SAMPLE_MAX,
+) -> list[dict]:
+    rows = (
+        features.select(order_col, label_col, *MODEL_FEATURES)
+        .orderBy(order_col).limit(sample_max).collect()
+    )
+    X = np.asarray([[float(r[f]) for f in MODEL_FEATURES] for r in rows])
+    y = np.asarray([1.0 if r[label_col] else 0.0 for r in rows])
+    folds = np.arange(len(rows)) % k
+    return [fit_svm_rff(X[folds != f], y[folds != f]) for f in range(k)]
+
+
+def with_svm_rff_cv_scores(
+    df: DataFrame, models: list[dict], fold_col: str = "fold"
+) -> DataFrame:
+    """Held-out RFF-SVC prediction: margin > 0."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(models)
+
+    @F.pandas_udf(T.BooleanType())
+    def pred(fold: pd.Series, *cols: pd.Series) -> pd.Series:
+        ms = bc.value
+        fidx = fold.to_numpy(dtype=np.int64)
+        X = np.column_stack([c.to_numpy(dtype=np.float64) for c in cols])
+        out = np.empty(len(fidx), dtype=bool)
+        for f, m in enumerate(ms):
+            sel = fidx == f
+            if sel.any():
+                out[sel] = svm_rff_margin(X[sel], m) > 0.0
+        return pd.Series(out)
+
+    return df.withColumn(
+        "pred_keep", pred(F.col(fold_col), *[F.col(f) for f in MODEL_FEATURES])
+    )
+
+
+def feature_importance_rows(
+    rf_folds: list[list[dict]], gb_folds: list[dict]
+) -> list[tuple[str, str, int]]:
+    """(model, feature, gain_q9) triples from the recorded split gains
+    of every CV-fold RF-lite forest and GB-stump ensemble — the raw
+    input of qf_feature_importance (reference feature_importances_
+    top-10, tune_extended_classifier.py:244-251).  Gains quantize to
+    exact floor(g * 1e9) BIGINTs at the source so both engines sum
+    integers (order-free) instead of doubles."""
+    rows: list[tuple[str, str, int]] = []
+    for forest in rf_folds:
+        for tr in forest:
+            for j, g in tr["gains"]:
+                rows.append(
+                    ("rf_lite", MODEL_FEATURES[int(j)],
+                     int(math.floor(g * 1e9)))
+                )
+    for m in gb_folds:
+        for j, g in zip(m["feat"], m["gain"]):
+            rows.append(
+                ("gb_stumps", MODEL_FEATURES[int(j)],
+                 int(math.floor(float(g) * 1e9)))
+            )
+    return rows
+
+
 def zoo_soft_vote_proba(
     X: np.ndarray,
     lr_model: tuple[np.ndarray, float],
     gb_model: dict,
     forest: list[dict],
-    svm_model: tuple[np.ndarray, float],
+    svm_model: dict,
 ) -> np.ndarray:
     """Reference soft VotingClassifier (`tune:208-218`, estimators rf /
     gb / lr / svm): mean of the four probabilities, fixed order
     (((rf + gb) + lr) + svm) / 4.  Probabilities: leaf fractions for
     RF, sigmoid of the boosted margin for GB, sigmoid of the affine
-    scores for LR / linear-SVM.  Sigmoids go through `_sigmoid`'s
+    score for LR, sigmoid of the RFF margin for the kernel SVC.  Sigmoids go through `_sigmoid`'s
     scalar math.exp loop (glibc libm), the same libm the oracle's
     DuckDB exp() calls — numpy's SIMD exp is deliberately avoided so
     bit-parity doesn't rest on a numpy-build coincidence (ADVICE r3);
@@ -657,7 +846,7 @@ def zoo_soft_vote_proba(
         )
     p_gb = _sigmoid(zg)
     p_lr = _sigmoid(affine(lr_model))
-    p_svm = _sigmoid(affine(svm_model))
+    p_svm = _sigmoid(svm_rff_margin(X, svm_model))
     return (((p_rf + p_gb) + p_lr) + p_svm) / 4.0
 
 

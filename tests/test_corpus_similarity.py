@@ -316,3 +316,62 @@ def test_connected_components_star_long_chain_log_rounds(spark):
     got = {r.v: r.comp for r in connected_components_star(chain, max_iter=14).collect()}
     assert len(got) == 401
     assert set(got.values()) == {0}
+
+
+def test_adaptive_lsh_candidates_bounded_as_corpus_doubles():
+    """Round-4 scale fix (r3 verdict perf-weak #2): with the plane
+    count m derived from the corpus row count, candidates/query must
+    stay ~flat when the corpus doubles (fixed m would double them —
+    O(n^2/2^m) pairs at 100x the data)."""
+    from qfilter.similarity import (
+        LSH_PLANES, LSH_TABLES, lsh_bucket_ids, lsh_planes_for_rows,
+    )
+
+    # the derivation itself: floor at tiny n, +1 plane per doubling
+    assert lsh_planes_for_rows(10) == LSH_PLANES
+    assert lsh_planes_for_rows(2 * 4096) == lsh_planes_for_rows(4096) + 1
+
+    def mean_candidates(n: int) -> float:
+        rng = np.random.default_rng(np.random.PCG64((42, n)))
+        mat = rng.standard_normal((n, 16))
+        buckets = lsh_bucket_ids(mat, lsh_planes_for_rows(n))  # (n, L)
+        total = 0
+        cands = [set() for _ in range(n)]
+        for t in range(LSH_TABLES):
+            byb: dict[int, list[int]] = {}
+            for i, b in enumerate(buckets[:, t]):
+                byb.setdefault(int(b), []).append(i)
+            for members in byb.values():
+                ms = set(members)
+                for i in members:
+                    cands[i] |= ms
+        total = sum(len(c) - 1 for c in cands)
+        return total / n
+
+    c1 = mean_candidates(2048)  # m = 5 -> expected bucket ~ 64
+    c2 = mean_candidates(4096)  # m = 6 -> expected bucket ~ 64
+    assert c2 <= 1.35 * c1, (c1, c2)
+
+
+def test_adaptive_ivf_candidates_sublinear():
+    """Same fix for IVF: K ~ sqrt(N) keeps candidates/query ~ nprobe *
+    sqrt(N) — a 4x corpus may cost ~2x candidates, never the 4x a
+    fixed K would."""
+    from qfilter.similarity import (
+        IVF_NPROBE, _ivf_assign, ivf_fit_centroids, ivf_k_for_rows,
+    )
+
+    assert ivf_k_for_rows(1024) == 32
+    assert ivf_k_for_rows(4096) == 64
+
+    def mean_candidates(n: int) -> float:
+        rng = np.random.default_rng(np.random.PCG64((43, n)))
+        mat = rng.standard_normal((n, 8))
+        cents = ivf_fit_centroids(mat, k=ivf_k_for_rows(n))
+        probes = _ivf_assign(mat, cents, IVF_NPROBE)  # (n, nprobe)
+        sizes = np.bincount(probes[:, 0], minlength=len(cents))
+        return float(sizes[probes].sum(axis=1).mean())
+
+    c1 = mean_candidates(1024)
+    c2 = mean_candidates(4096)
+    assert c2 <= 2.8 * c1, (c1, c2)

@@ -248,7 +248,7 @@ def test_soft_vote_blends_families():
         fit_gb_stumps,
         fit_logreg,
         fit_rf_lite,
-        fit_svm_linear,
+        fit_svm_rff,
         zoo_soft_vote_proba,
     )
 
@@ -260,7 +260,7 @@ def test_soft_vote_blends_families():
         fit_logreg(X, y),
         fit_gb_stumps(X, y),
         fit_rf_lite(X, y),
-        fit_svm_linear(X, y),
+        fit_svm_rff(X, y),
     )
     assert p.min() >= 0.0 and p.max() <= 1.0
     acc = float(((p > 0.5) == (y > 0.5)).mean())

@@ -90,6 +90,35 @@ def test_entry_smoke(spark):
     assert "category" in df.columns
 
 
+def _dereg_pairs():
+    import __spark_entry__ as E
+
+    return sorted(E.deregistered_checks().items())
+
+
+@pytest.mark.parametrize(
+    "name,pair", _dereg_pairs(), ids=[p[0] for p in _dereg_pairs()]
+)
+def test_deregistered_query_matches_oracle(spark, name, pair):
+    """Queries rotated out of the 50-slot driver registry keep the
+    identical DuckDB compare here (full hash-grade: columns, rows,
+    exact values)."""
+    fn, sql = pair
+    sdf = fn(spark, SF_DIR).toPandas()
+    with _duck() as con:
+        odf = con.execute(sql).df()
+    a, b = _normalize(sdf), _normalize(odf)
+    assert list(a.columns) == list(b.columns), name
+    assert len(a) > 0 and len(a) == len(b), (name, len(a), len(b))
+    for c in a.columns:
+        for i, (x, y) in enumerate(zip(a[c].tolist(), b[c].tolist())):
+            if isinstance(x, float) and isinstance(y, float) and (
+                math.isnan(x) and math.isnan(y)
+            ):
+                continue
+            assert x == y, f"{name}.{c}[{i}]: {x!r} != {y!r}"
+
+
 def test_xxh64_matches_spark(spark):
     """The pure-Python XXH64 (oracle/xxh64.py) must equal Spark's
     `xxhash64` on strings (all tail-length paths), longs, and the

@@ -162,7 +162,7 @@ def build_minhash_pairs(sf_dir: str, n_perm: int = 32, bands: int = 8) -> str:
 def build_lsh_ann(sf_dir: str, k: int = 5) -> str:
     """Replicates similarity.lsh_ann_topk: shared deterministic bucket
     fn, candidate union over tables, exact left-to-right-fold rerank."""
-    from qfilter.similarity import LSH_TABLES, lsh_bucket_ids
+    from qfilter.similarity import LSH_TABLES, lsh_bucket_ids, lsh_planes_for_rows
 
     tbl = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
@@ -171,7 +171,9 @@ def build_lsh_ann(sf_dir: str, k: int = 5) -> str:
     mat = np.asarray(
         [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
     )
-    buckets = lsh_bucket_ids(mat)  # (n, L)
+    # adaptive plane count from the same corpus row count the Spark
+    # side derives it from (len(mat) == the table count here)
+    buckets = lsh_bucket_ids(mat, lsh_planes_for_rows(len(mat)))  # (n, L)
     byb: dict[tuple, list] = {}
     for row, vid in enumerate(ids):
         for t in range(LSH_TABLES):
@@ -507,7 +509,9 @@ def build_ivf_ann(sf_dir: str, k: int = 5) -> str:
     """Replicates similarity.ivf_ann_topk single-node: same sorted
     sample matrix -> same deterministic k-means centroids -> same
     fold-based assignment and exact left-to-right-fold rerank."""
-    from qfilter.similarity import IVF_NPROBE, _ivf_assign, ivf_fit_centroids
+    from qfilter.similarity import (
+        IVF_NPROBE, _ivf_assign, ivf_fit_centroids, ivf_k_for_rows,
+    )
 
     tbl = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
@@ -518,7 +522,9 @@ def build_ivf_ann(sf_dir: str, k: int = 5) -> str:
     mat = np.asarray(
         [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
     )[order]
-    cents = ivf_fit_centroids(mat)
+    # same adaptive K as the Spark side (len(mat) == the table count);
+    # ivf_fit_centroids itself caps the training slice at IVF_SAMPLE_MAX
+    cents = ivf_fit_centroids(mat, k=ivf_k_for_rows(len(mat)))
     probes = _ivf_assign(mat, cents, IVF_NPROBE)  # (n, nprobe)
     home = probes[:, 0]
     by_list: dict[int, list] = {}
@@ -639,6 +645,16 @@ def svm_cv_weights_from_labels_ref(fixture_dir: str, k: int = 5) -> list:
     return [fit_svm_linear(X[folds != f], y[folds != f]) for f in range(k)]
 
 
+def svm_rff_cv_weights_from_labels_ref(fixture_dir: str, k: int = 5) -> list:
+    """Oracle twin of qfilter.model.svm_rff_cv_models_from_features
+    (the RBF-kernel SVC via random Fourier features)."""
+    from qfilter.model import fit_svm_rff
+
+    X, y = _labels_ref_Xy(fixture_dir)
+    folds = np.arange(len(X)) % k
+    return [fit_svm_rff(X[folds != f], y[folds != f]) for f in range(k)]
+
+
 def zoo_cv_cache(fixture_dir: str, k: int = 5) -> dict:
     """All five zoo families' per-fold models, retrained from
     labels_ref once and cached as a dep-hashed JSON sidecar (floats
@@ -663,7 +679,7 @@ def zoo_cv_cache(fixture_dir: str, k: int = 5) -> dict:
     lr = model_cv_weights_from_labels_ref(fixture_dir, k=k)
     gb = gb_cv_weights_from_labels_ref(fixture_dir, k=k)
     rf = rf_cv_weights_from_labels_ref(fixture_dir, k=k)
-    svm = svm_cv_weights_from_labels_ref(fixture_dir, k=k)
+    svm = svm_rff_cv_weights_from_labels_ref(fixture_dir, k=k)
     raw = {
         "lr": [[list(map(float, w)), float(b)] for w, b in lr],
         "gb": [
@@ -673,6 +689,7 @@ def zoo_cv_cache(fixture_dir: str, k: int = 5) -> dict:
                 "thr": [float(x) for x in m["thr"]],
                 "val_l": [float(x) for x in m["val_l"]],
                 "val_r": [float(x) for x in m["val_r"]],
+                "gain": [float(x) for x in m["gain"]],
             }
             for m in gb
         ],
@@ -682,12 +699,24 @@ def zoo_cv_cache(fixture_dir: str, k: int = 5) -> dict:
                     "feat": int(t["feat"]), "thr": float(t["thr"]),
                     "l": [float(x) for x in t["l"]],
                     "r": [float(x) for x in t["r"]],
+                    "gains": [[int(j), float(g)] for j, g in t["gains"]],
                 }
                 for t in forest
             ]
             for forest in rf
         ],
-        "svm": [[list(map(float, w)), float(b)] for w, b in svm],
+        "svm_rff": [
+            {
+                "mu": [float(x) for x in m["mu"]],
+                "sd": [float(x) for x in m["sd"]],
+                "W": [[float(x) for x in row] for row in m["W"]],
+                "B": [float(x) for x in m["B"]],
+                "scale": float(m["scale"]),
+                "w": [float(x) for x in m["w"]],
+                "b": float(m["b"]),
+            }
+            for m in svm
+        ],
     }
     os.makedirs(OUT_DIR, exist_ok=True)
     with open(path, "w") as f:
@@ -707,6 +736,7 @@ def _zoo_cache_decode(raw: dict) -> dict:
                 "thr": np.asarray(m["thr"], dtype=np.float64),
                 "val_l": np.asarray(m["val_l"], dtype=np.float64),
                 "val_r": np.asarray(m["val_r"], dtype=np.float64),
+                "gain": np.asarray(m["gain"], dtype=np.float64),
             }
             for m in raw["gb"]
         ],
@@ -715,12 +745,24 @@ def _zoo_cache_decode(raw: dict) -> dict:
                 {
                     "feat": int(t["feat"]), "thr": float(t["thr"]),
                     "l": tuple(t["l"]), "r": tuple(t["r"]),
+                    "gains": [(int(j), float(g)) for j, g in t["gains"]],
                 }
                 for t in forest
             ]
             for forest in raw["rf"]
         ],
-        "svm": [(np.asarray(w, dtype=np.float64), float(b)) for w, b in raw["svm"]],
+        "svm_rff": [
+            {
+                "mu": np.asarray(m["mu"], dtype=np.float64),
+                "sd": np.asarray(m["sd"], dtype=np.float64),
+                "W": np.asarray(m["W"], dtype=np.float64),
+                "B": np.asarray(m["B"], dtype=np.float64),
+                "scale": float(m["scale"]),
+                "w": np.asarray(m["w"], dtype=np.float64),
+                "b": float(m["b"]),
+            }
+            for m in raw["svm_rff"]
+        ],
     }
 
 
