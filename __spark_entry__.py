@@ -1629,7 +1629,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT q, rank, n FROM ranked WHERE rank <= 5
         """,
         "cosine_topk_bucketed": """
-            WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+            WITH params AS (
+              -- sub_bucket_bits(n, l): smallest m with n <= l*64*2^m,
+              -- clamped to 8 (integer CASE chain, no float log2)
+              SELECT CASE
+                WHEN c <= l * 64 THEN 0
+                WHEN c <= l * 128 THEN 1
+                WHEN c <= l * 256 THEN 2
+                WHEN c <= l * 512 THEN 3
+                WHEN c <= l * 1024 THEN 4
+                WHEN c <= l * 2048 THEN 5
+                WHEN c <= l * 4096 THEN 6
+                WHEN c <= l * 8192 THEN 7
+                ELSE 8 END AS m
+              FROM (SELECT count(*) AS c, count(DISTINCT label) AS l
+                    FROM embeddings)
+            ),
+            e AS (
+              -- m-bit axis-sign sub-bucket, skipping component 1
+              SELECT vec_id, label, embedding,
+                     CAST(list_sum(list_transform(range(0, 8),
+                       j -> CASE WHEN j < params.m
+                                  AND embedding[j + 2] > 0
+                                 THEN (1 << j) ELSE 0 END)) AS INT) AS sub
+              FROM embeddings, params
+            ),
             pairs AS (
               SELECT a.vec_id q, b.vec_id n,
                      list_sum(list_transform(range(1, len(a.embedding) + 1),
@@ -1637,7 +1661,8 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
                      AS cos
-              FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id
+              FROM e a JOIN e b ON a.label = b.label AND a.sub = b.sub
+                                AND a.vec_id != b.vec_id
             ),
             ranked AS (
               SELECT q, n, row_number() OVER
@@ -1647,23 +1672,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT q, rank, n FROM ranked WHERE rank <= 5
         """,
         "cosine_neardup_pairs": """
-            WITH base AS (
+            WITH params AS (
+              -- sub_bucket_bits over the committed BASE table count
+              -- (the planted union is deterministically 2x)
+              SELECT CASE
+                WHEN c <= l * 64 THEN 0
+                WHEN c <= l * 128 THEN 1
+                WHEN c <= l * 256 THEN 2
+                WHEN c <= l * 512 THEN 3
+                WHEN c <= l * 1024 THEN 4
+                WHEN c <= l * 2048 THEN 5
+                WHEN c <= l * 4096 THEN 6
+                WHEN c <= l * 8192 THEN 7
+                ELSE 8 END AS m
+              FROM (SELECT count(*) AS c, count(DISTINCT label) AS l
+                    FROM embeddings)
+            ),
+            base AS (
               SELECT vec_id, label,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
               FROM embeddings),
-            e AS (
+            u AS (
               SELECT vec_id, label, v FROM base
               UNION ALL
               SELECT vec_id + 1000000, label,
                      list_prepend(v[1] + 0.05, v[2:]) AS v
               FROM base),
+            e AS (
+              -- sub-code skips component 1 (the perturbed one), so a
+              -- copy always shares its source's bucket
+              SELECT vec_id, label, v,
+                     CAST(list_sum(list_transform(range(0, 8),
+                       j -> CASE WHEN j < params.m AND v[j + 2] > 0
+                                 THEN (1 << j) ELSE 0 END)) AS INT) AS sub
+              FROM u, params
+            ),
             pairs AS (
               SELECT a.vec_id id1, b.vec_id id2,
                      list_sum(list_transform(range(1, len(a.v) + 1),
                         i -> a.v[i] * b.v[i]))
                      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
                       * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
-              FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+              FROM e a JOIN e b ON a.label = b.label AND a.sub = b.sub
+                                AND a.vec_id < b.vec_id
             )
             SELECT id1, id2, cos FROM pairs WHERE cos >= 0.99
         """,

@@ -375,3 +375,81 @@ def test_adaptive_ivf_candidates_sublinear():
     c1 = mean_candidates(1024)
     c2 = mean_candidates(4096)
     assert c2 <= 2.8 * c1, (c1, c2)
+
+
+def test_sub_bucket_bits_derivation():
+    """Round-4 scale fix for the LABEL-bucketed cosine queries (the
+    other half of r3 perf-weak #2): m = smallest with n <= l*64*2^m,
+    integer-exact, clamped to 8."""
+    from qfilter.similarity import sub_bucket_bits
+
+    assert sub_bucket_bits(500, 10) == 0       # sf0.01 fixture: unchanged
+    assert sub_bucket_bits(64, 1) == 0
+    assert sub_bucket_bits(65, 1) == 1
+    assert sub_bucket_bits(2048, 1) == 5       # exact power boundary
+    assert sub_bucket_bits(2049, 1) == 6
+    assert sub_bucket_bits(10**9, 1) == 8      # clamp
+    # m grows by exactly 1 per corpus doubling -> bucket size ~flat
+    for n in (1000, 4000, 16000):
+        assert sub_bucket_bits(2 * n, 2) <= sub_bucket_bits(n, 2) + 1
+
+
+def test_sub_bucketed_cosine_m_positive_matches_oracle(spark, tmp_path):
+    """Exercise the m>0 sub-bucket path (the sf0.01 fixture derives
+    m=0, so the registry correctness run never reaches it): a 400-row
+    2-label table derives m=2, and the Spark plan must agree row-for-
+    row with the committed DuckDB oracle SQL run on the same parquet —
+    the same parity the driver checks, at the scale-adaptive setting."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from qfilter.similarity import (
+        cosine_neardup_pairs, cosine_topk_bucketed, sub_bucket_bits,
+    )
+
+    n, dim = 400, 32
+    rng = np.random.default_rng(np.random.PCG64(1234))
+    mat = rng.standard_normal((n, dim))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rows = [
+        (i, [float(x) for x in mat[i]], int(i % 2)) for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf_dir}/embeddings.parquet")
+    assert sub_bucket_bits(n, 2) == 2
+
+    got = {
+        (r.q, r.rank, r.n)
+        for r in cosine_topk_bucketed(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    want = set(
+        map(tuple, con.execute(E.oracle_sql()["cosine_topk_bucketed"]).fetchall())
+    )
+    assert got == want
+    # sub-splitting actually happened: fewer candidate pairs than the
+    # plain label join would produce (2 buckets of 200 -> 8 of ~50)
+    subs = con.execute(
+        """SELECT count(DISTINCT (label, sub)) FROM (
+             SELECT label,
+               CAST(list_sum(list_transform(range(0, 8),
+                 j -> CASE WHEN j < 2 AND embedding[j + 2] > 0
+                           THEN (1 << j) ELSE 0 END)) AS INT) AS sub
+             FROM embeddings)"""
+    ).fetchone()[0]
+    assert subs == 8
+
+    # the near-dup plant survives any m: the sub-code skips the
+    # perturbed component, so every planted pair is found
+    nd = cosine_neardup_pairs(spark, sf_dir).collect()
+    assert len(nd) == n
+    assert all(r.id2 - r.id1 == 1_000_000 for r in nd)
+    nd_want = con.execute(E.oracle_sql()["cosine_neardup_pairs"]).fetchall()
+    assert {(r.id1, r.id2) for r in nd} == {(a, b) for a, b, _ in nd_want}
