@@ -377,14 +377,22 @@ def _mm_image_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic synthetic PCM16 audio (sine + square) -> features.
-    Input rows shared with the single-node oracle sidecar."""
+    """Deterministic synthetic audio (sine + square; mixed PCM16 and
+    G.711 mu-law compressed rows) -> features.  Input rows shared with
+    the single-node oracle sidecar, which decodes mu-law with its own
+    independent table-based implementation."""
     from make_fixtures import synth_audio_rows
 
     from qfilter.multimodal import audio_features
 
-    rows = [(a, bytearray(p), sr, ch) for a, p, sr, ch in synth_audio_rows()]
-    df = spark.createDataFrame(rows, "audio_id string, pcm binary, sample_rate int, channels int")
+    rows = [
+        (a, bytearray(p), sr, ch, fmt)
+        for a, p, sr, ch, fmt in synth_audio_rows()
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "audio_id string, pcm binary, sample_rate int, channels int, fmt string",
+    )
     return audio_features(df).select(
         "audio_id", "duration_s", "rms", "zero_crossings", "peak"
     )

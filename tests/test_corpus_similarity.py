@@ -453,3 +453,63 @@ def test_sub_bucketed_cosine_m_positive_matches_oracle(spark, tmp_path):
     assert all(r.id2 - r.id1 == 1_000_000 for r in nd)
     nd_want = con.execute(E.oracle_sql()["cosine_neardup_pairs"]).fetchall()
     assert {(r.id1, r.id2) for r in nd} == {(a, b) for a, b, _ in nd_want}
+
+
+def test_ulaw_roundtrip_bounds():
+    """G.711 mu-law is lossy but segment-bounded: reconstruction error
+    for a sample in exponent segment e is <= 2^(e+2) (truncation plus
+    half-step reconstruction), i.e. relative
+    error ~1/16 of magnitude -> SNR ~38 dB on full-scale audio; and
+    the compressed payload is exactly half the PCM16 size."""
+    from qfilter.multimodal import ulaw_decode, ulaw_encode
+
+    rng = np.random.default_rng(np.random.PCG64(77))
+    x = np.concatenate([
+        rng.integers(-32768, 32768, 4096),
+        np.array([0, 1, -1, 32767, -32768, 0x84, -0x84]),
+    ]).astype(np.int16)
+    enc = ulaw_encode(x)
+    assert enc.dtype == np.uint8 and enc.nbytes * 2 == x.nbytes
+    dec = ulaw_decode(enc)
+    err = np.abs(dec.astype(np.int64) - np.clip(x.astype(np.int64), -32635, 32635))
+    mag = np.minimum(np.abs(x.astype(np.int64)), 32635) + 0x84
+    seg = np.floor(np.log2(mag >> 7)).astype(np.int64)
+    assert np.all(err <= (1 << (seg + 2))), int(err.max())
+    full = (np.sin(np.linspace(0, 200, 8000)) * 30000).astype(np.int16)
+    noise = ulaw_decode(ulaw_encode(full)).astype(np.float64) - full
+    snr = 10 * np.log10((full.astype(np.float64) ** 2).mean() / (noise ** 2).mean())
+    assert snr >= 35.0, snr
+
+
+def test_ulaw_twin_decoders_agree():
+    """The vectorized bit-ops decoder (qfilter) and the scalar
+    table-formula decoder (oracle sidecar tool) must agree on all 256
+    code points — the two-implementation parity the mu-law rows of
+    mm_audio_features rest on."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_oracle_sidecars import _ulaw_decode_table
+
+    from qfilter.multimodal import ulaw_decode
+
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(ulaw_decode(codes), _ulaw_decode_table()[codes])
+
+
+def test_audio_unknown_fmt_error_channel(spark):
+    """An unregistered compressed fmt becomes an error row (the old
+    NotImplementedError stub is retired; bad fmt is data, not a task
+    failure)."""
+    from qfilter.multimodal import audio_features
+
+    df = spark.createDataFrame(
+        [("a0", bytearray(b"\x00\x01"), 8000, 1, "mp3"),
+         ("a1", bytearray(np.zeros(100, dtype="<i2").tobytes()), 8000, 1,
+          "pcm16")],
+        "audio_id string, pcm binary, sample_rate int, channels int, fmt string",
+    )
+    rows = {r.audio_id: r for r in audio_features(df).collect()}
+    assert rows["a0"].error is not None and "mp3" in rows["a0"].error
+    assert rows["a1"].error is None

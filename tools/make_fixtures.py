@@ -603,9 +603,17 @@ def write_tier(pool, tier, out_dir):
 
 
 def synth_audio_rows() -> list[tuple]:
-    """Deterministic synthetic PCM16 clips (sine + square), shared by
-    the Spark query (`__spark_entry__._mm_audio`) and its single-node
-    oracle sidecar so both see identical bytes."""
+    """Deterministic synthetic clips (sine + square), shared by the
+    Spark query (`__spark_entry__._mm_audio`) and its single-node
+    oracle sidecar so both see identical bytes.
+
+    Every third clip is stored G.711 mu-law COMPRESSED (the shared
+    encoder defines the fixture bytes; Spark and the oracle each
+    decode with their own independent implementation), the rest
+    headerless PCM16 — so the query exercises the mixed-format path
+    the `fmt` column exists for."""
+    from qfilter.multimodal import ulaw_encode
+
     rows = []
     for i in range(64):
         sr = 8000
@@ -614,8 +622,12 @@ def synth_audio_rows() -> list[tuple]:
         wave = np.sin(2 * np.pi * freq * t) * (0.1 + 0.05 * (i % 5))
         if i % 3 == 0:
             wave = np.sign(wave) * np.abs(wave).max()
-        pcm = (wave * 32767).astype("<i2").tobytes()
-        rows.append((f"aud{i:04d}", pcm, sr, 1))
+        pcm16 = (wave * 32767).astype("<i2")
+        if i % 3 == 1:
+            data, fmt = ulaw_encode(pcm16).tobytes(), "ulaw"
+        else:
+            data, fmt = pcm16.tobytes(), "pcm16"
+        rows.append((f"aud{i:04d}", data, sr, 1, fmt))
     return rows
 
 

@@ -251,17 +251,38 @@ def build_thumbs(fixture_dir: str, tw: int = 8, th: int = 8) -> str:
     return path
 
 
+def _ulaw_decode_table() -> np.ndarray:
+    """256-entry G.711 mu-law decode table, built scalar-by-scalar from
+    the segment formula — deliberately a DIFFERENT implementation than
+    the vectorized bit-ops in qfilter/multimodal.py, so oracle parity
+    on mu-law rows is a real two-implementation check."""
+    tab = np.empty(256, dtype=np.int16)
+    for byte in range(256):
+        b = (~byte) & 0xFF
+        exponent = (b >> 4) & 0x07
+        mantissa = b & 0x0F
+        mag = (((mantissa << 3) + 0x84) << exponent) - 0x84
+        tab[byte] = -mag if (b & 0x80) else mag
+    return tab
+
+
 def build_audio_features() -> str:
-    """Single-node oracle for `mm_audio_features`: same PCM bytes
+    """Single-node oracle for `mm_audio_features`: same bytes
     (make_fixtures.synth_audio_rows), arithmetic transcribed from
     qfilter/multimodal.py:audio_features in the same operation order
-    (identical float64 results bit-for-bit)."""
+    (identical float64 results bit-for-bit); mu-law rows decoded with
+    the independent table above."""
     from make_fixtures import synth_audio_rows
 
+    ulaw_tab = _ulaw_decode_table()
     rows = {"audio_id": [], "duration_s": [], "rms": [],
             "zero_crossings": [], "peak": []}
-    for audio_id, pcm, sr, ch in synth_audio_rows():
-        x = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32768.0
+    for audio_id, pcm, sr, ch, fmt in synth_audio_rows():
+        if fmt == "ulaw":
+            x = ulaw_tab[np.frombuffer(pcm, dtype=np.uint8)].astype(
+                np.float64) / 32768.0
+        else:
+            x = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32768.0
         if ch > 1:
             x = x.reshape(-1, ch).mean(axis=1)
         rows["audio_id"].append(audio_id)
