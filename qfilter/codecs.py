@@ -25,14 +25,44 @@ types 1/3/4, which the encoder never emits.
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
 import numpy as np
 
-__all__ = ["encode", "decode", "psnr"]
+__all__ = ["encode", "decode", "psnr", "MAX_PIXELS"]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# Admission control (100 TB robustness): at 10^12-image scale a single
+# corrupt/adversarial row claiming 65k x 65k — or a 1 KB zlib stream
+# inflating to gigabytes — must become an error-channel row, never an
+# executor OOM followed by a doomed task-retry loop.  Checked BEFORE
+# any allocation: on the claimed metadata in `decode`, on the parsed
+# header dims inside each self-describing decoder, and on every zlib
+# stream via `_bounded_decompress`.  64 MP passes any sane photo
+# (9x larger than a 48 MP phone sensor) at ~192 MB decoded.
+MAX_PIXELS = int(os.environ.get("QFILTER_MAX_PIXELS", str(64_000_000)))
+
+
+def _check_pixel_budget(w: int, h: int, fmt: str) -> None:
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        raise ValueError(
+            f"{fmt}: pixel budget ({w}x{h} vs max {MAX_PIXELS} px)"
+        )
+
+
+def _bounded_decompress(blob: bytes, expected: int, tag: str) -> bytes:
+    """zlib-decompress exactly ``expected`` bytes; anything shorter,
+    longer, or with pending output raises instead of allocating — the
+    defense against decompression bombs whose headers claim small
+    dims."""
+    d = zlib.decompressobj()
+    out = d.decompress(blob, expected)
+    if len(out) != expected or d.decompress(b"", 1) or d.flush(1):
+        raise ValueError(f"{tag}: decompressed size != expected {expected}")
+    return out
 
 
 # ---------------------------------------------------------------- raw
@@ -77,6 +107,7 @@ def _decode_bmp(data: bytes) -> np.ndarray:
         raise ValueError("bmp: only 24-bit BI_RGB supported")
     flip = h > 0
     h = abs(h)
+    _check_pixel_budget(w, h, "bmp")
     row_size = (w * 3 + 3) & ~3
     rows = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=offset)
     rows = rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
@@ -189,7 +220,11 @@ def _decode_png(data: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("png: missing IHDR")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    _check_pixel_budget(w, h, "png")
+    raw = np.frombuffer(
+        _bounded_decompress(bytes(idat), h * (1 + w * 3), "png"),
+        dtype=np.uint8,
+    )
     raw = raw.reshape(h, 1 + w * 3)
     # fast path: all filters in {0,2} (what our encoder emits) — fully vectorized
     if np.isin(raw[:, 0], (0, 2)).all():
@@ -260,11 +295,18 @@ def _decode_qjpg(data: bytes) -> np.ndarray:
     if data[:4] != b"QJPG":
         raise ValueError("qjpg: bad magic")
     w, h = struct.unpack_from("<HH", data, 4)
+    _check_pixel_budget(w, h, "qjpg")
     body = data[12:]
     sep = body.index(b"\x00SPLT\x00")
-    yq = np.frombuffer(zlib.decompress(body[:sep]), dtype=np.int16).reshape(h, w)
+    yq = np.frombuffer(
+        _bounded_decompress(body[:sep], h * w * 2, "qjpg"), dtype=np.int16
+    ).reshape(h, w)
     he, we = (h + 1) & ~1, (w + 1) & ~1
-    cq = np.frombuffer(zlib.decompress(body[sep + 6 :]), dtype=np.int16)
+    cq = np.frombuffer(
+        _bounded_decompress(body[sep + 6 :], (he // 2) * (we // 2) * 2 * 2,
+                            "qjpg"),
+        dtype=np.int16,
+    )
     cq = cq.reshape(he // 2, we // 2, 2).astype(np.float32) * _QC
     # nearest-neighbor chroma upsample
     cup = np.repeat(np.repeat(cq, 2, axis=0), 2, axis=1)[:h, :w]
@@ -296,8 +338,11 @@ def decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     """Decode ``fmt`` bytes into an (h, w, 3) uint8 RGB array.
 
     ``w``/``h`` are the table's metadata columns; self-describing
-    formats are validated against them.
+    formats are validated against them.  Rows over the pixel budget
+    (``MAX_PIXELS``) are rejected before any allocation — callers'
+    error channels turn them into error rows.
     """
+    _check_pixel_budget(w, h, fmt)
     if fmt == "raw":
         return _decode_raw(data, w, h)
     if fmt == "bmp":

@@ -110,3 +110,62 @@ def test_unknown_fmt_raises():
         codecs.encode(_rand_img(4, 4, 0), "gif")
     with pytest.raises(ValueError):
         codecs.decode(b"xx", "gif", 4, 4)
+
+
+def test_pixel_budget_rejects_claimed_dims():
+    """Admission control (100 TB robustness): a row whose metadata
+    claims > MAX_PIXELS is rejected BEFORE any allocation or stream
+    parsing, for every fmt — the caller's error channel turns it into
+    an error row instead of an executor OOM."""
+    big = 10_000  # 100 MP > 64 MP budget
+    for fmt in ("raw", "bmp", "png", "qjpg"):
+        with pytest.raises(ValueError, match="pixel budget"):
+            codecs.decode(b"\x00" * 64, fmt, big, big)
+    with pytest.raises(ValueError, match="pixel budget"):
+        codecs.decode(b"", "raw", 0, 4)  # non-positive dims too
+
+
+def test_pixel_budget_rejects_stream_dims():
+    """A stream whose OWN header claims huge dims is rejected inside
+    the decoder (metadata could lie small while the header lies big)."""
+    import struct
+
+    px = _rand_img(6, 6, 3)
+    data = bytearray(codecs.encode(px, "png"))
+    struct.pack_into(">II", data, 16, 100_000, 100_000)  # patch IHDR w,h
+    with pytest.raises(ValueError, match="pixel budget"):
+        codecs.decode(bytes(data), "png", 6, 6)
+
+
+def test_zlib_bomb_bounded():
+    """An IDAT inflating past h*(1+3w) raises instead of allocating:
+    small claimed dims cannot smuggle a gigabyte decompression."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body
+
+    w = h = 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * 1_000_000)
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="decompressed size"):
+        codecs.decode(data, "png", w, h)
+
+
+def test_budget_violation_routes_to_error_channel():
+    """The feature UDF's scalar twin turns a budget violation into an
+    error row with zeroed features, not an exception."""
+    import pandas as pd
+
+    from qfilter.features import _image_features_rows
+
+    out = _image_features_rows(
+        pd.Series([b"\x00" * 12]), pd.Series(["raw"]),
+        pd.Series([100_000]), pd.Series([100_000]),
+    )
+    assert len(out) == 1
+    assert "pixel budget" in out.iloc[0]["error"]
+    assert out.iloc[0]["phash64"] == 0
