@@ -513,3 +513,26 @@ def test_audio_unknown_fmt_error_channel(spark):
     rows = {r.audio_id: r for r in audio_features(df).collect()}
     assert rows["a0"].error is not None and "mp3" in rows["a0"].error
     assert rows["a1"].error is None
+
+
+def test_sub_bucket_candidates_bounded_as_corpus_doubles():
+    """With m derived from the corpus count, mean within-bucket
+    candidates per query must stay ~flat when the corpus doubles
+    (fixed label-only bucketing would double them)."""
+    from qfilter.similarity import sub_bucket_bits
+
+    def mean_candidates(n: int) -> float:
+        rng = np.random.default_rng(np.random.PCG64((99, n)))
+        labels = np.arange(n) % 2
+        m = sub_bucket_bits(n, 2)
+        comps = rng.standard_normal((n, 8))  # components 1..8 (0 skipped)
+        bits = (comps[:, :m] > 0).astype(np.int64)
+        sub = (bits * (1 << np.arange(m))).sum(axis=1) if m else np.zeros(n)
+        key = labels * 1000 + sub
+        _, counts = np.unique(key, return_counts=True)
+        # mean candidates/query = E[bucket size - 1] weighted by size
+        return float((counts * (counts - 1)).sum() / n)
+
+    c1 = mean_candidates(1024)  # m = 3
+    c2 = mean_candidates(2048)  # m = 4
+    assert c2 <= 1.35 * c1, (c1, c2)
