@@ -920,7 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median_value": corpus.weighted_median_value,
         # --- TPC-H-ish rollup/join/grid/topk ---
         "lineitem_rollup": corpus.lineitem_rollup,
-        "top_customers": corpus.top_customers,
+        "winnow_fingerprints": corpus.winnow_fingerprints,
         "discount_grid_argmax": corpus.discount_grid_argmax,
         # --- embeddings similarity ---
         "embedding_norms": similarity.embedding_norms,
@@ -1586,13 +1586,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
-        "top_customers": """
-            SELECT c_custkey, c_name, count(*) AS n_orders,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent
-            FROM orders JOIN customer ON o_custkey = c_custkey
-            GROUP BY c_custkey, c_name
-            ORDER BY total_spent DESC, c_custkey ASC
-            LIMIT 10
+        "winnow_fingerprints": """
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, g.pos,
+                list_reduce(list_transform(range(1, 6),
+                  i -> CAST(ascii(substring(t, g.pos + i, 1)) AS BIGINT)),
+                  (acc, x) -> (acc * 257 + x) % 1000000007) AS h,
+                length(t) AS n
+              FROM norm,
+                LATERAL (SELECT unnest(range(0, greatest(length(t) - 4, 0)))
+                         AS pos) g
+              WHERE length(t) >= 8
+            ),
+            win AS (
+              SELECT doc_id, w.wstart,
+                     min(struct_pack(h := h, np := -pos)) AS sel
+              FROM grams,
+                LATERAL (SELECT unnest(range(greatest(pos - 3, 0),
+                                             least(pos, n - 8) + 1))
+                         AS wstart) w
+              GROUP BY doc_id, w.wstart
+            )
+            SELECT doc_id, -sel.np AS pos, sel.h AS fp FROM win
+            GROUP BY doc_id, sel.np, sel.h
         """,
         "discount_grid_argmax": """
             WITH grid AS (
@@ -1893,12 +1914,23 @@ def deregistered_checks() -> dict:
     * stream_event_sessions — built-in `session_window` streaming
       sessionizer, superseded in the registry by the stronger
       hand-rolled `stream_event_sessions_custom` and additionally
-      three-way parity-pytested in tests/test_streaming.py.
+      three-way parity-pytested in tests/test_streaming.py;
+    * top_customers — groupBy-sum + orderBy desc + limit, a shape now
+      also registry-covered by qf_feature_importance (same plus a rank
+      window); its slot went to `winnow_fingerprints` (round 4).
 
     Returns {name: (callable, oracle_sql)}."""
     from qfilter import corpus
 
     return {
+        "top_customers": (corpus.top_customers, """
+            SELECT c_custkey, c_name, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY total_spent DESC, c_custkey ASC
+            LIMIT 10
+        """),
         "event_rollup": (corpus.event_rollup, """
             SELECT event_type, count(*) AS n,
                    count(DISTINCT user_id) AS n_users,

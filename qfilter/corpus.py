@@ -32,6 +32,7 @@ __all__ = [
     "lang_rollup",
     "exact_dedup",
     "fingerprints",
+    "winnow_fingerprints",
     "cer_per_lang",
     "trigram_jaccard_pairs",
     "minhash_signatures",
@@ -145,6 +146,75 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.substring(F.md5(F.lower(F.trim(F.col("text")))), 1, 16).alias("fingerprint"),
+    )
+
+
+WINNOW_K = 5     # k-gram length (characters, after normalization)
+WINNOW_W = 4     # winnowing window (guarantee: any match >= k+w-1
+                 # chars shares a selected fingerprint)
+WINNOW_MOD = 1_000_000_007
+WINNOW_BASE = 257
+
+
+def winnow_fingerprints(
+    spark: SparkSession, sf_dir: str, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): polynomial rolling hash over character k-grams of the
+    normalized text, then per sliding window of w gram hashes select
+    the minimum (ties -> rightmost), distinct selected (pos, hash)
+    pairs per doc.  The training-data "document fingerprinting
+    (rolling hash)" op: expected density 2/(w+1), and any substring
+    match of length >= k+w-1 between two docs is GUARANTEED to share a
+    fingerprint — the property md5-prefix `fingerprints` (exact only)
+    and SimHash (similarity only) don't give.
+
+    Everything is exact int64 arithmetic in Catalyst higher-order
+    functions — (acc*257 + ascii) % 1e9+7 stays far below 2^63 — so
+    the DuckDB oracle runs the literally-identical chain.  Scale: the
+    window explode is a bounded w-x row blow-up, the only shuffle is
+    the (doc_id, wstart) groupBy (co-partitioned with any doc-keyed
+    downstream join), and no state exceeds one doc's grams."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "").alias("t"),
+    ).where(F.length("t") >= k + w - 1)
+    grams = norm.select(
+        "doc_id",
+        F.length("t").alias("n"),
+        "t",
+        F.explode(F.expr(f"sequence(0, length(t) - {k})")).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        "n",
+        F.expr(
+            f"aggregate(transform(sequence(1, {k}),"
+            f" i -> cast(ascii(substring(t, pos + i, 1)) as bigint)),"
+            f" cast(0 as bigint),"
+            f" (acc, x) -> (acc * {WINNOW_BASE} + x) % {WINNOW_MOD})"
+        ).alias("h"),
+    )
+    wins = grams.select(
+        "doc_id",
+        "h",
+        "pos",
+        F.explode(
+            F.expr(f"sequence(greatest(pos - {w - 1}, 0),"
+                   f" least(pos, n - {k + w - 1}))")
+        ).alias("wstart"),
+    )
+    sel = wins.groupBy("doc_id", "wstart").agg(
+        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).alias("sel")
+    )
+    return (
+        sel.select(
+            "doc_id",
+            (-F.col("sel.np")).alias("pos"),
+            F.col("sel.h").alias("fp"),
+        )
+        .distinct()
     )
 
 

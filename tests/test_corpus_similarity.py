@@ -536,3 +536,35 @@ def test_sub_bucket_candidates_bounded_as_corpus_doubles():
     c1 = mean_candidates(1024)  # m = 3
     c2 = mean_candidates(2048)  # m = 4
     assert c2 <= 1.35 * c1, (c1, c2)
+
+
+def test_winnow_fingerprint_guarantee(spark, tmp_path):
+    """The winnowing GUARANTEE (Schleimer et al. '03): two documents
+    sharing any substring of length >= k+w-1 share at least one
+    selected fingerprint; and selection density ~2/(w+1)."""
+    from qfilter.corpus import WINNOW_K, WINNOW_W, winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "AAAA %s BBBB" % shared, "en"),
+        (2, "cccc dddd %s eeee" % shared, "en"),
+        (3, "totally unrelated content with zero overlap whatsoever x", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    sf = str(tmp_path / "wf")
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    fps = {}
+    for r in winnow_fingerprints(spark, sf).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "docs sharing a long substring must share a fingerprint"
+    assert not (fps[1] & fps[3] & fps[2] & fps[3])
+
+    # density: selected/grams ~ 2/(w+1) (within 2x either way)
+    n_grams = sum(
+        len("".join(c for c in t.lower() if c.isalnum())) - WINNOW_K + 1
+        for _, t, _ in rows
+    )
+    n_sel = sum(len(v) for v in fps.values())
+    target = 2.0 / (WINNOW_W + 1)
+    assert 0.5 * target <= n_sel / n_grams <= 2.0 * target, (n_sel, n_grams)
