@@ -239,6 +239,10 @@ def run_suite(spark, sf_dir: str, tier: str):
         # r01 recorded simhash64 under the key "doc_nlp_batch" (label
         # bug); from r02 both run under their real names.
         timed("simhash64", lambda: corpus.simhash64(spark, sf_dir).count())
+        timed(
+            "winnow_fingerprints",
+            lambda: corpus.winnow_fingerprints(spark, sf_dir).count(),
+        )
         from __spark_entry__ import queries as _entry_queries
 
         # agg over the UDF outputs, not count(): a bare count() lets

@@ -170,51 +170,59 @@ def winnow_fingerprints(
     and SimHash (similarity only) don't give.
 
     Everything is exact int64 arithmetic in Catalyst higher-order
-    functions — (acc*257 + ascii) % 1e9+7 stays far below 2^63 — so
-    the DuckDB oracle runs the literally-identical chain.  Scale: the
-    window explode is a bounded w-x row blow-up, the only shuffle is
-    the (doc_id, wstart) groupBy (co-partitioned with any doc-keyed
-    downstream join), and no state exceeds one doc's grams."""
+    functions — (acc*257 + ascii) % 1e9+7 stays far below 2^63 — and
+    the DuckDB oracle is an INDEPENDENT relational formulation of the
+    same algorithm (grams exploded to rows, window membership as a
+    lateral join, arg-min per window via struct-min aggregate), so
+    parity is a real two-implementation check.
+
+    Scale design: winnowing is doc-LOCAL, so the whole computation is
+    a per-row projection — gram-hash array, then window arg-min
+    selection, both inside one task.  The only shuffle is a doc-keyed
+    repartition of the raw TEXT rows (bytes ~ corpus text size), vs
+    the naive relational plan's (doc_id, wstart) groupBy shuffling a
+    w-fold explode of every gram (measured 3.3x slower at sf0.1 and
+    ~100x the shuffle volume).  The persist() between the two
+    projections is load-bearing: without it CollapseProject inlines
+    the FULL O(|t|*k) gram-array expression at every one of the
+    O(|t|*w) hs[...] accesses in the selection lambda — turning a
+    linear pass quadratic (measured: minutes instead of seconds at
+    sf0.001)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    norm = docs.select(
-        "doc_id",
-        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "").alias("t"),
-    ).where(F.length("t") >= k + w - 1)
-    grams = norm.select(
-        "doc_id",
-        F.length("t").alias("n"),
-        "t",
-        F.explode(F.expr(f"sequence(0, length(t) - {k})")).alias("pos"),
-    ).select(
-        "doc_id",
-        "pos",
-        "n",
-        F.expr(
-            f"aggregate(transform(sequence(1, {k}),"
-            f" i -> cast(ascii(substring(t, pos + i, 1)) as bigint)),"
-            f" cast(0 as bigint),"
-            f" (acc, x) -> (acc * {WINNOW_BASE} + x) % {WINNOW_MOD})"
-        ).alias("h"),
-    )
-    wins = grams.select(
-        "doc_id",
-        "h",
-        "pos",
-        F.explode(
-            F.expr(f"sequence(greatest(pos - {w - 1}, 0),"
-                   f" least(pos, n - {k + w - 1}))")
-        ).alias("wstart"),
-    )
-    sel = wins.groupBy("doc_id", "wstart").agg(
-        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).alias("sel")
-    )
-    return (
-        sel.select(
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    norm = (
+        docs.select(
             "doc_id",
-            (-F.col("sel.np")).alias("pos"),
-            F.col("sel.h").alias("fp"),
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "").alias("t"),
         )
-        .distinct()
+        .where(F.length("t") >= k + w - 1)
+        .repartition(n_parts, "doc_id")
+    )
+    hs = (
+        f"transform(sequence(0, length(t) - {k}), p -> "
+        f"aggregate(transform(sequence(1, {k}),"
+        f" i -> cast(ascii(substring(t, p + i, 1)) as bigint)),"
+        f" cast(0 as bigint),"
+        f" (acc, x) -> (acc * {WINNOW_BASE} + x) % {WINNOW_MOD}))"
+    )
+    # arg-min over each w-window of (h, -pos) structs; ties -> larger
+    # pos (smaller np), the robust-winnowing rightmost-min rule
+    sel = (
+        f"array_distinct(transform(sequence(0, size(hs) - {w}), ws -> "
+        f"aggregate(sequence(ws + 1, ws + {w - 1}),"
+        f" named_struct('h', hs[ws], 'np', -ws),"
+        f" (acc, p) -> if(named_struct('h', hs[p], 'np', -p) < acc,"
+        f" named_struct('h', hs[p], 'np', -p), acc))))"
+    )
+    with_hs = norm.withColumn("hs", F.expr(hs)).persist()
+    return (
+        with_hs.withColumn("sel", F.expr(sel))
+        .select("doc_id", F.explode("sel").alias("s"))
+        .select(
+            "doc_id",
+            (-F.col("s.np")).alias("pos"),
+            F.col("s.h").alias("fp"),
+        )
     )
 
 
