@@ -239,3 +239,21 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_winnow_single_text_shuffle(spark):
+    """Winnowing is doc-local: the ONLY Exchange in the plan is the
+    doc_id repartition of the raw text rows (feeding the cached
+    gram-hash projection); selection/explode add no shuffle.  The
+    naive relational form would shuffle a w-fold explode of every
+    gram — ~100x the bytes."""
+    import re
+
+    from qfilter.corpus import winnow_fingerprints
+
+    plan = _fmt(winnow_fingerprints(spark, SF))
+    n_exchanges = len(
+        re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.MULTILINE)
+    )
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}:\n{plan}"
+    assert "hashpartitioning(doc_id" in plan
