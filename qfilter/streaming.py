@@ -38,6 +38,7 @@ __all__ = [
     "IMAGES_SCHEMA",
     "stream_quality_filter",
     "stream_event_window_counts",
+    "stream_event_dedup",
     "stream_event_sessions",
     "stream_event_sessions_custom",
 ]
@@ -132,6 +133,42 @@ def stream_event_window_counts(
     )
     return (
         agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_event_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "30 minutes",
+    schema: T.StructType | None = None,
+):
+    """Exactly-once ingest dedup: `dropDuplicatesWithinWatermark` on
+    event_id — the streaming half of the training-pipeline dedup
+    story (a crawler that re-delivers an event/file within the late-
+    data bound emits it downstream exactly once).
+
+    Unlike a bare streaming dropDuplicates, whose key state grows
+    FOREVER (a non-starter at 10^12 rows), the watermark variant
+    expires state once the event-time bound passes — state is bounded
+    by (arrival rate x watermark), independent of corpus size.  Parity
+    with batch `SELECT DISTINCT` is exact whenever re-deliveries land
+    within the watermark (tests plant a full duplicate delivery)."""
+    if schema is None:
+        schema = EVENTS_SCHEMA
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    return (
+        deduped.writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

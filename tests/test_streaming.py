@@ -219,3 +219,36 @@ def test_custom_stateful_sessions_checkpoint_resume(spark, tmp_path_factory):
         (F.col("session_start") <= F.lit(cut)) & (F.col("session_end") > F.lit(cut))
     ).count()
     assert spanning > 0
+
+
+def test_stream_event_dedup_exactly_once(spark, tmp_path_factory):
+    """Planted full re-delivery of the events table: the watermarked
+    streaming dedup emits each event_id exactly once, matching batch
+    SELECT DISTINCT — with state BOUNDED by the watermark, unlike a
+    bare streaming dropDuplicates."""
+    from qfilter.streaming import stream_event_dedup
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n_distinct = events.select("event_id").distinct().count()
+
+    land = str(tmp_path_factory.mktemp("dedup_land"))
+    # two deliveries of the same rows (separate files = separate
+    # micro-batch inputs under maxFilesPerTrigger defaults)
+    events.repartition(2).write.mode("overwrite").parquet(land)
+    events.repartition(3).write.mode("append").parquet(land)
+    assert spark.read.parquet(land).count() == 2 * events.count()
+
+    out = str(tmp_path_factory.mktemp("dedup_out"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_ckpt"))
+    q = stream_event_dedup(spark, land, out, ckpt)
+    assert q.awaitTermination(600), "availableNow drain timed out"
+
+    got = spark.read.parquet(out)
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
+
+    # re-deliver AGAIN on the same checkpoint: still exactly once
+    events.repartition(1).write.mode("append").parquet(land)
+    q2 = stream_event_dedup(spark, land, out, ckpt)
+    assert q2.awaitTermination(600)
+    assert spark.read.parquet(out).count() == n_distinct
