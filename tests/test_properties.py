@@ -142,3 +142,62 @@ def test_telea_fills_mask_only(gray, seed):
     um = mask == 0
     assert np.array_equal(out[um], px[um])
     assert out.dtype == px.dtype and out.shape == px.shape
+
+
+@settings(max_examples=50, deadline=None)
+@given(arrays(np.int16, st.integers(1, 2048),
+              elements=st.integers(-32768, 32767)))
+def test_ulaw_roundtrip_bound_any_pcm(pcm):
+    """mu-law reconstruction error is segment-bounded for ARBITRARY
+    int16 input: |decode(encode(x)) - clip(x)| <= 2^(seg+2), and the
+    code stream is exactly one byte per sample."""
+    from qfilter.multimodal import ulaw_decode, ulaw_encode
+
+    enc = ulaw_encode(pcm)
+    assert enc.dtype == np.uint8 and len(enc) == len(pcm)
+    dec = ulaw_decode(enc).astype(np.int64)
+    clipped = np.clip(pcm.astype(np.int64), -32635, 32635)
+    mag = np.abs(clipped) + 0x84
+    seg = np.floor(np.log2(mag >> 7)).astype(np.int64)
+    assert np.all(np.abs(dec - clipped) <= (1 << (seg + 2)))
+    # sign is always preserved (0 may decode to +/-0 -> 0)
+    assert np.all(np.sign(dec) * np.sign(clipped) >= 0)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(alphabet="abc ", min_size=0, max_size=60),
+       st.text(alphabet="abc ", min_size=0, max_size=60),
+       st.text(alphabet="xyz0189", min_size=8, max_size=30))
+def test_winnow_local_selection_guarantee(prefix, suffix, shared):
+    """Pure-python replication of the winnowing selection on arbitrary
+    strings: two docs sharing `shared` (>= k+w-1 normalized chars from
+    a disjoint alphabet) always share a fingerprint HASH."""
+    from qfilter.corpus import WINNOW_BASE, WINNOW_K, WINNOW_MOD, WINNOW_W
+
+    k, w = WINNOW_K, WINNOW_W
+
+    def norm(t):
+        return "".join(c for c in t.lower() if c.isalnum() or c.isdigit())
+
+    def fps(t):
+        t = norm(t)
+        if len(t) < k + w - 1:
+            return set()
+        hs = []
+        for p in range(len(t) - k + 1):
+            h = 0
+            for i in range(k):
+                h = (h * WINNOW_BASE + ord(t[p + i])) % WINNOW_MOD
+            hs.append(h)
+        out = set()
+        for ws in range(len(hs) - w + 1):
+            best = (hs[ws], -ws)
+            for p in range(ws + 1, ws + w):
+                if (hs[p], -p) < best:
+                    best = (hs[p], -p)
+            out.add(best[0])
+        return out
+
+    a, b = prefix + shared, shared + suffix
+    fa, fb = fps(a), fps(b)
+    assert fa & fb, (a, b)
