@@ -568,3 +568,55 @@ def test_winnow_fingerprint_guarantee(spark, tmp_path):
     n_sel = sum(len(v) for v in fps.values())
     target = 2.0 / (WINNOW_W + 1)
     assert 0.5 * target <= n_sel / n_grams <= 2.0 * target, (n_sel, n_grams)
+
+
+def test_adpcm_roundtrip_and_twin_decoders():
+    """IMA-ADPCM: 4x compression (+12-byte header), SNR >= 20 dB on a
+    smooth sine, and the time-step-vectorized batch decoder agrees
+    bit-for-bit with the oracle tool's scalar textbook loop — on
+    uneven-length clips in one batch, including an odd length."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_oracle_sidecars import _adpcm_decode_scalar
+
+    from qfilter.multimodal import adpcm_decode_batch, adpcm_encode
+
+    rng = np.random.default_rng(np.random.PCG64(5150))
+    clips = []
+    for n in (2000, 333, 1):
+        t = np.arange(n)
+        sine = (np.sin(2 * np.pi * 220 * t / 8000) * 20000).astype(np.int16)
+        clips.append(sine)
+    clips.append(rng.integers(-3000, 3000, 640).astype(np.int16))
+
+    payloads = [adpcm_encode(c) for c in clips]
+    assert len(payloads[0]) == 12 + (len(clips[0]) + 1) // 2
+    batch = adpcm_decode_batch(payloads)
+    for c, p, d in zip(clips, payloads, batch):
+        assert np.array_equal(d, _adpcm_decode_scalar(p))
+        assert len(d) == len(c)
+    # SNR on the long smooth sine
+    x = clips[0].astype(np.float64)
+    noise = batch[0].astype(np.float64) - x
+    snr = 10 * np.log10((x ** 2).mean() / max((noise ** 2).mean(), 1e-12))
+    assert snr >= 20.0, snr
+
+
+def test_adpcm_bad_payload_single_error_row(spark):
+    """One corrupt ADPCM payload in a batch costs ONE error row (the
+    per-row fallback), while its neighbors decode fine."""
+    from qfilter.multimodal import adpcm_encode, audio_features
+
+    good = adpcm_encode((np.sin(np.arange(400)) * 1000).astype(np.int16))
+    df = spark.createDataFrame(
+        [("g0", bytearray(good), 8000, 1, "adpcm_ima"),
+         ("bad", bytearray(b"QADP" + b"\x00" * 3), 8000, 1, "adpcm_ima"),
+         ("g1", bytearray(good), 8000, 1, "adpcm_ima")],
+        "audio_id string, pcm binary, sample_rate int, channels int, fmt string",
+    )
+    rows = {r.audio_id: r for r in audio_features(df).collect()}
+    assert rows["bad"].error is not None
+    assert rows["g0"].error is None and rows["g1"].error is None
+    assert rows["g0"].rms > 0

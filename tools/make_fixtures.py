@@ -607,12 +607,13 @@ def synth_audio_rows() -> list[tuple]:
     Spark query (`__spark_entry__._mm_audio`) and its single-node
     oracle sidecar so both see identical bytes.
 
-    Every third clip is stored G.711 mu-law COMPRESSED (the shared
-    encoder defines the fixture bytes; Spark and the oracle each
-    decode with their own independent implementation), the rest
-    headerless PCM16 — so the query exercises the mixed-format path
-    the `fmt` column exists for."""
-    from qfilter.multimodal import ulaw_encode
+    Clips cycle through the three formats (the shared encoders define
+    the fixture bytes; Spark and the oracle each DECODE with their own
+    independent implementation): i%3==0 square waves stay headerless
+    PCM16, i%3==1 sines are G.711 mu-law, i%3==2 sines are IMA-ADPCM —
+    so the query exercises the full mixed-format path the `fmt` column
+    exists for."""
+    from qfilter.multimodal import adpcm_encode, ulaw_encode
 
     rows = []
     for i in range(64):
@@ -625,6 +626,8 @@ def synth_audio_rows() -> list[tuple]:
         pcm16 = (wave * 32767).astype("<i2")
         if i % 3 == 1:
             data, fmt = ulaw_encode(pcm16).tobytes(), "ulaw"
+        elif i % 3 == 2:
+            data, fmt = adpcm_encode(pcm16), "adpcm_ima"
         else:
             data, fmt = pcm16.tobytes(), "pcm16"
         rows.append((f"aud{i:04d}", data, sr, 1, fmt))

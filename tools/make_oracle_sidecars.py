@@ -266,12 +266,53 @@ def _ulaw_decode_table() -> np.ndarray:
     return tab
 
 
+def _adpcm_decode_scalar(data: bytes) -> np.ndarray:
+    """Plain per-sample IMA-ADPCM decoder — deliberately the scalar
+    textbook loop, NOT the time-step-vectorized batch kernel in
+    qfilter/multimodal.py, so ADPCM parity is a real two-
+    implementation check."""
+    import struct
+
+    assert data[:4] == b"QADP"
+    pred, idx, n = struct.unpack_from("<hBxI", data, 4)
+    packed = np.frombuffer(data, dtype=np.uint8, offset=12)
+    index_table = [-1, -1, -1, -1, 2, 4, 6, 8] * 2
+    step_table = [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ]
+    out = np.empty(n, dtype=np.int16)
+    for t in range(n):
+        byte = int(packed[t // 2])
+        nib = byte & 0x0F if t % 2 == 0 else byte >> 4
+        step = step_table[idx]
+        vpdiff = step >> 3
+        if nib & 4:
+            vpdiff += step
+        if nib & 2:
+            vpdiff += step >> 1
+        if nib & 1:
+            vpdiff += step >> 2
+        pred = pred - vpdiff if nib & 8 else pred + vpdiff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + index_table[nib]))
+        out[t] = pred
+    return out
+
+
 def build_audio_features() -> str:
     """Single-node oracle for `mm_audio_features`: same bytes
     (make_fixtures.synth_audio_rows), arithmetic transcribed from
     qfilter/multimodal.py:audio_features in the same operation order
     (identical float64 results bit-for-bit); mu-law rows decoded with
-    the independent table above."""
+    the independent table above, ADPCM rows with the independent
+    scalar loop above."""
     from make_fixtures import synth_audio_rows
 
     ulaw_tab = _ulaw_decode_table()
@@ -281,6 +322,8 @@ def build_audio_features() -> str:
         if fmt == "ulaw":
             x = ulaw_tab[np.frombuffer(pcm, dtype=np.uint8)].astype(
                 np.float64) / 32768.0
+        elif fmt == "adpcm_ima":
+            x = _adpcm_decode_scalar(pcm).astype(np.float64) / 32768.0
         else:
             x = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32768.0
         if ch > 1:
