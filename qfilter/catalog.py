@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -77,6 +78,10 @@ class Catalog:
             # rows/files) still read back with the right columns
             "schema": df.schema.jsonValue(),
         }
+        return self._commit_manifest(table, manifest)
+
+    def _commit_manifest(self, table: str, manifest: dict) -> int:
+        sid = manifest["id"]
         sdir = self._snap_dir(table)
         os.makedirs(sdir, exist_ok=True)
         tmp = os.path.join(sdir, f".{sid}.json.tmp")
@@ -104,11 +109,184 @@ class Catalog:
                 if schema is None:
                     raise
                 part = spark.createDataFrame([], schema)
-            df = part if df is None else df.unionByName(part)
+            # allowMissingColumns = add-column schema evolution: dirs
+            # written before a column existed read back as null for it
+            # (Iceberg's default add-column semantics)
+            df = part if df is None else df.unionByName(part, allowMissingColumns=True)
+        if schema is not None:
+            from pyspark.sql import functions as F
+
+            cols = [
+                F.col(f.name) if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+            df = df.select(*cols)
         return df
 
     def exists(self, table: str) -> bool:
         return bool(self.snapshots(table))
+
+    # ----------------------------------------------------- maintenance
+    #
+    # The three Iceberg table-maintenance operations a 100 TB deployment
+    # cannot live without, expressed over the same manifest layout:
+    #
+    #   compact()           = Iceberg rewrite_data_files (bin-pack).
+    #                         Wave-writes and streaming sinks append one
+    #                         dir per micro-commit; after thousands of
+    #                         commits the table is millions of small
+    #                         files and scan throughput dies on open()
+    #                         overhead.  Compaction rewrites the CURRENT
+    #                         snapshot into ceil(bytes/target) files and
+    #                         commits it as a "replace" snapshot; the
+    #                         old snapshots stay readable (time travel)
+    #                         until expired.
+    #   expire_snapshots()  = Iceberg expireSnapshots + orphan-file GC.
+    #   read_incremental()  = Iceberg incremental append scan: only the
+    #                         rows added after a known snapshot, so a
+    #                         downstream consumer never rescans the
+    #                         table.  "replace" snapshots are skipped —
+    #                         they rewrite existing rows, adding none —
+    #                         exactly Iceberg's semantics.
+    #
+    # All three keep the manifest-commit-last invariant: a killed
+    # compactor leaves garbage data files but no torn table.
+
+    def table_data_files(self, table: str, snapshot: int | None = None) -> list[str]:
+        """All parquet data files of a snapshot (default: current)."""
+        snaps = self.snapshots(table)
+        snap = snaps[-1] if snapshot is None else next(s for s in snaps if s["id"] == snapshot)
+        files: list[str] = []
+        for d in snap["dirs"]:
+            for root, _dirs, names in os.walk(d):
+                files.extend(
+                    os.path.join(root, n) for n in names if n.endswith(".parquet")
+                )
+        return files
+
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        target_file_bytes: int = 128 << 20,
+    ) -> int:
+        """Bin-pack the current snapshot into ~target-sized files.
+
+        Returns the new snapshot id.  Old snapshots remain readable via
+        ``read(snapshot=...)`` until ``expire_snapshots`` drops them.
+        """
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"table {table!r} has no snapshots")
+        cur = snaps[-1]
+        total = sum(os.path.getsize(f) for f in self.table_data_files(table))
+        n_files = max(1, -(-total // target_file_bytes))
+        df = self.read(spark, table)
+        sid = cur["id"] + 1
+        data_dir = os.path.join(self._tdir(table), "data", f"s{sid}")
+        part_by = cur.get("partition_by") or []
+        # repartition bounds files-per-task at 1; with partition columns
+        # in the hash the rows of one partition land in few tasks, so a
+        # partitioned table compacts to <= n_files files per partition
+        # value rather than n_files * n_partitions.
+        out = df.repartition(int(n_files), *part_by) if part_by else df.repartition(int(n_files))
+        writer = out.write.mode("overwrite")
+        if part_by:
+            writer = writer.partitionBy(*part_by)
+        writer.parquet(data_dir)
+        manifest = {
+            "id": sid,
+            "parent": cur["id"],
+            "dirs": [data_dir],
+            "partition_by": part_by,
+            "schema": cur.get("schema") or df.schema.jsonValue(),
+            "operation": "replace",
+            "replaced_dirs": cur["dirs"],
+        }
+        return self._commit_manifest(table, manifest)
+
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> list[str]:
+        """Drop all but the last ``keep_last`` snapshots and delete every
+        data dir they exclusively referenced — including orphan dirs a
+        killed writer left behind (written but never committed).
+
+        Returns the deleted dirs.  Never touches a dir any retained
+        snapshot references.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        snaps = self.snapshots(table)
+        retained, expired = snaps[-keep_last:], snaps[:-keep_last]
+        keep_dirs = {os.path.normpath(d) for s in retained for d in s["dirs"]}
+        deleted: list[str] = []
+        data_root = os.path.join(self._tdir(table), "data")
+        if os.path.isdir(data_root):
+            for name in sorted(os.listdir(data_root)):
+                path = os.path.normpath(os.path.join(data_root, name))
+                if path not in keep_dirs:
+                    shutil.rmtree(path, ignore_errors=True)
+                    deleted.append(path)
+        for s in expired:
+            try:
+                os.remove(os.path.join(self._snap_dir(table), f"{s['id']}.json"))
+            except FileNotFoundError:
+                pass
+        return deleted
+
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        table: str,
+        since_snapshot: int,
+        to_snapshot: int | None = None,
+    ) -> DataFrame:
+        """Rows appended AFTER ``since_snapshot`` up to ``to_snapshot``
+        (default: current).  Skips "replace" (compaction) snapshots —
+        they add no rows.  Raises if the chain has been expired, because
+        then the appended set can no longer be reconstructed.
+        """
+        from pyspark.sql.types import StructType
+
+        snaps = {s["id"]: s for s in self.snapshots(table)}
+        if not snaps:
+            raise FileNotFoundError(f"table {table!r} has no snapshots")
+        to = max(snaps) if to_snapshot is None else to_snapshot
+        added: list[str] = []
+        schema_json = None
+        if since_snapshot < 0:  # "everything since before the first append"
+            prev_dirs: set[str] | None = set()
+        elif since_snapshot in snaps:
+            prev_dirs = set(snaps[since_snapshot]["dirs"])
+        else:
+            prev_dirs = None
+        for sid in range(since_snapshot + 1, to + 1):
+            snap = snaps.get(sid)
+            if snap is None:
+                raise ValueError(
+                    f"snapshot {sid} of {table!r} has been expired; "
+                    "incremental read impossible — run a full read"
+                )
+            if prev_dirs is None:
+                raise ValueError(
+                    f"since_snapshot {since_snapshot} of {table!r} has been "
+                    "expired; incremental read impossible — run a full read"
+                )
+            schema_json = snap.get("schema") or schema_json
+            if snap.get("operation", "append") == "append":
+                added.extend(d for d in snap["dirs"] if d not in prev_dirs)
+            prev_dirs = set(snap["dirs"])
+        schema = StructType.fromJson(schema_json) if schema_json else None
+        if not added:
+            cur_schema = schema or StructType.fromJson(
+                self.current_snapshot(table)["schema"]
+            )
+            return spark.createDataFrame([], cur_schema)
+        df = None
+        for d in added:
+            part = spark.read.parquet(d)
+            df = part if df is None else df.unionByName(part)
+        return df
 
 
 # ------------------------------------------------------- bucketed layout

@@ -157,6 +157,26 @@ class QualityFilterPipeline:
         )
         self.catalog.append("metrics", m)
 
+    # ------------------------------------------------------- maintenance
+    def maintain(
+        self, target_file_bytes: int = 128 << 20, keep_last: int = 1
+    ) -> dict:
+        """Post-run table maintenance: bin-pack the labels table (every
+        wave appended a snapshot of small files) and expire superseded
+        snapshots.  Resume state lives in the lineage table, not in the
+        labels file layout, so a maintained table resumes identically —
+        ``tests/test_catalog_maintenance.py`` proves it."""
+        before = len(self.catalog.table_data_files("labels"))
+        sid = self.catalog.compact(self.spark, "labels", target_file_bytes)
+        deleted = self.catalog.expire_snapshots("labels", keep_last=keep_last)
+        after = len(self.catalog.table_data_files("labels"))
+        return {
+            "snapshot": sid,
+            "files_before": before,
+            "files_after": after,
+            "dirs_deleted": len(deleted),
+        }
+
     # ------------------------------------------------------------ status
     def status(self) -> dict:
         done = self._committed_parts()
