@@ -25,10 +25,20 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["Catalog"]
+__all__ = ["Catalog", "CommitConflict", "zorder_expr"]
+
+
+class CommitConflict(Exception):
+    """Another writer committed the snapshot id first (optimistic
+    concurrency, Iceberg's CommitFailedException).  ``append`` rebases
+    and retries automatically — appends commute; ``compact``/``merge``/
+    ``delete_where`` surface it, because their rewrite was computed
+    against a snapshot that is no longer current and retrying blindly
+    would silently drop the concurrent writer's rows."""
 
 
 class Catalog:
@@ -59,35 +69,126 @@ class Catalog:
         snaps = self.snapshots(table)
         return snaps[-1] if snaps else None
 
+    def _new_data_dir(self, table: str, hint: str) -> str:
+        # unique name: two concurrent writers must never share a data
+        # dir even before either has committed a manifest
+        return os.path.join(
+            self._tdir(table), "data", f"{hint}-{uuid.uuid4().hex[:8]}"
+        )
+
     # ----------------------------------------------------------- append
     def append(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
-        snaps = self.snapshots(table)
-        sid = (snaps[-1]["id"] + 1) if snaps else 0
-        data_dir = os.path.join(self._tdir(table), "data", f"s{sid}")
+        data_dir = self._new_data_dir(table, "a")
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
-        parent_dirs = snaps[-1]["dirs"] if snaps else []
-        manifest = {
-            "id": sid,
-            "parent": snaps[-1]["id"] if snaps else None,
-            "dirs": parent_dirs + [data_dir],
-            "partition_by": partition_by or [],
-            # schema travels in the manifest so empty tables (zero
-            # rows/files) still read back with the right columns
-            "schema": df.schema.jsonValue(),
-        }
-        return self._commit_manifest(table, manifest)
+        # optimistic-concurrency loop: data is written once; only the
+        # manifest commit races.  Appends commute, so losing the CAS
+        # just means rebasing onto the winner's snapshot and retrying.
+        while True:
+            snaps = self.snapshots(table)
+            sid = (snaps[-1]["id"] + 1) if snaps else 0
+            parent_dirs = snaps[-1]["dirs"] if snaps else []
+            manifest = {
+                "id": sid,
+                "parent": snaps[-1]["id"] if snaps else None,
+                "dirs": parent_dirs + [data_dir],
+                "partition_by": partition_by or [],
+                # schema travels in the manifest so empty tables (zero
+                # rows/files) still read back with the right columns
+                "schema": df.schema.jsonValue(),
+            }
+            try:
+                return self._commit_manifest(table, manifest)
+            except CommitConflict:
+                continue
+
+    def append_once(
+        self,
+        table: str,
+        df: DataFrame,
+        txn_id: str,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Idempotent append: a second call with the same ``txn_id`` is
+        a no-op returning the original snapshot id.
+
+        This is the sink contract Structured Streaming's foreachBatch
+        needs for exactly-once output: after a failure the engine
+        REPLAYS the last micro-batch with the same deterministic
+        batchId, so the sink must deduplicate on it (the same pattern
+        as Iceberg's commit-dedup on wap.id / Flink's checkpoint txn).
+        """
+        existing = self._txn_snapshot(table, txn_id)
+        if existing is not None:
+            return existing
+        data_dir = self._new_data_dir(table, "a")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        while True:
+            # re-check inside the CAS loop: a replayed twin may have
+            # committed this txn while we were writing
+            existing = self._txn_snapshot(table, txn_id)
+            if existing is not None:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                return existing
+            snaps = self.snapshots(table)
+            sid = (snaps[-1]["id"] + 1) if snaps else 0
+            parent_dirs = snaps[-1]["dirs"] if snaps else []
+            manifest = {
+                "id": sid,
+                "parent": snaps[-1]["id"] if snaps else None,
+                "dirs": parent_dirs + [data_dir],
+                "partition_by": partition_by or [],
+                "schema": df.schema.jsonValue(),
+                "txn_id": txn_id,
+            }
+            try:
+                return self._commit_manifest(table, manifest)
+            except CommitConflict:
+                continue
+
+    def _txn_snapshot(self, table: str, txn_id: str) -> int | None:
+        for s in self.snapshots(table):
+            if s.get("txn_id") == txn_id or txn_id in s.get("txn_ids", []):
+                return s["id"]
+        return None
+
+    @staticmethod
+    def _carried_txns(snaps: list[dict]) -> list[str]:
+        """Txn ids a replace/overwrite snapshot must carry forward: if
+        compaction expired the appends of the current chain, a replayed
+        micro-batch must STILL see its txn as committed — otherwise the
+        exactly-once guarantee of ``append_once`` has a crash window
+        between sink commit and checkpoint advance."""
+        out: set[str] = set()
+        for s in snaps:
+            if s.get("txn_id"):
+                out.add(s["txn_id"])
+            out.update(s.get("txn_ids", []))
+        return sorted(out)
 
     def _commit_manifest(self, table: str, manifest: dict) -> int:
+        """Atomically commit snapshot ``manifest['id']`` — create-if-
+        absent (hard link), never overwrite: the Iceberg CAS commit.
+        Raises :class:`CommitConflict` if that id is already taken."""
         sid = manifest["id"]
         sdir = self._snap_dir(table)
         os.makedirs(sdir, exist_ok=True)
-        tmp = os.path.join(sdir, f".{sid}.json.tmp")
+        tmp = os.path.join(sdir, f".{sid}.{uuid.uuid4().hex[:8]}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, os.path.join(sdir, f"{sid}.json"))  # commit point
+        try:
+            os.link(tmp, os.path.join(sdir, f"{sid}.json"))  # commit point
+        except FileExistsError:
+            raise CommitConflict(
+                f"snapshot {sid} of {table!r} was committed concurrently"
+            ) from None
+        finally:
+            os.unlink(tmp)
         return sid
 
     # ------------------------------------------------------------- read
@@ -170,12 +271,29 @@ class Catalog:
         spark: SparkSession,
         table: str,
         target_file_bytes: int = 128 << 20,
+        sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Bin-pack the current snapshot into ~target-sized files.
 
+        With ``sort_by``, files are RANGE-partitioned and sorted on
+        those columns (Iceberg's sort-order rewrite): each output
+        file's parquet min/max footer stats then cover a narrow,
+        non-overlapping slice of the key domain, so a predicate on the
+        sort key skips whole files/row-groups at scan time — THE
+        data-skipping lever for a 100 TB table queried by key range.
+        With ``zorder_by`` (2+ columns), rows are clustered on an
+        interleaved-bit Z-value so files cover small multi-dimensional
+        bounding boxes and predicates on ANY of the columns skip.
+
         Returns the new snapshot id.  Old snapshots remain readable via
         ``read(snapshot=...)`` until ``expire_snapshots`` drops them.
+        Raises :class:`CommitConflict` if another writer commits while
+        the rewrite runs (the rewrite would drop their rows) — re-run
+        on the new current snapshot.
         """
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         snaps = self.snapshots(table)
         if not snaps:
             raise FileNotFoundError(f"table {table!r} has no snapshots")
@@ -183,26 +301,106 @@ class Catalog:
         total = sum(os.path.getsize(f) for f in self.table_data_files(table))
         n_files = max(1, -(-total // target_file_bytes))
         df = self.read(spark, table)
-        sid = cur["id"] + 1
-        data_dir = os.path.join(self._tdir(table), "data", f"s{sid}")
+        data_dir = self._new_data_dir(table, "c")
         part_by = cur.get("partition_by") or []
-        # repartition bounds files-per-task at 1; with partition columns
-        # in the hash the rows of one partition land in few tasks, so a
-        # partitioned table compacts to <= n_files files per partition
-        # value rather than n_files * n_partitions.
-        out = df.repartition(int(n_files), *part_by) if part_by else df.repartition(int(n_files))
+        if zorder_by:
+            zcol = f"__z_{uuid.uuid4().hex[:6]}"
+            df = df.withColumn(zcol, zorder_expr(spark, df, zorder_by))
+            out = (
+                df.repartitionByRange(int(n_files), zcol)
+                .sortWithinPartitions(*part_by, zcol)
+                .drop(zcol)
+            )
+        elif sort_by:
+            out = df.repartitionByRange(int(n_files), *sort_by).sortWithinPartitions(
+                *part_by, *sort_by
+            )
+        else:
+            # repartition bounds files-per-task at 1; with partition
+            # columns in the hash the rows of one partition land in few
+            # tasks, so a partitioned table compacts to <= n_files files
+            # per partition value rather than n_files * n_partitions.
+            out = (
+                df.repartition(int(n_files), *part_by)
+                if part_by
+                else df.repartition(int(n_files))
+            )
         writer = out.write.mode("overwrite")
         if part_by:
             writer = writer.partitionBy(*part_by)
         writer.parquet(data_dir)
         manifest = {
-            "id": sid,
+            "id": cur["id"] + 1,
             "parent": cur["id"],
             "dirs": [data_dir],
             "partition_by": part_by,
             "schema": cur.get("schema") or df.schema.jsonValue(),
             "operation": "replace",
             "replaced_dirs": cur["dirs"],
+            "sort_by": sort_by or [],
+            "zorder_by": zorder_by or [],
+            "txn_ids": self._carried_txns(snaps),
+        }
+        return self._commit_manifest(table, manifest)
+
+    # --------------------------------------------------- row-level ops
+    #
+    # Copy-on-write MERGE / DELETE (Iceberg's copy-on-write row-level
+    # operation mode): the rewrite is computed as one distributed plan
+    # (anti-join / filter), written to a fresh dir, and committed as an
+    # "overwrite" snapshot.  Readers never see a half-applied change;
+    # time travel to the pre-merge snapshot still works until expiry.
+
+    def merge(
+        self, spark: SparkSession, table: str, source: DataFrame, on: list[str]
+    ) -> int:
+        """Upsert ``source`` into ``table`` keyed on ``on``: target rows
+        whose key appears in source are replaced by the source row, all
+        other target rows are kept, unmatched source rows are inserted
+        (MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT).
+
+        The anti-join side is key-only, so with a small source Spark
+        broadcasts it and the rewrite is one shuffle-free scan at any
+        table size."""
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"table {table!r} has no snapshots")
+        cur = snaps[-1]
+        target = self.read(spark, table)
+        merged = target.join(source.select(*on).distinct(), on=on, how="left_anti")
+        merged = merged.unionByName(source.select(*target.columns))
+        return self._commit_rewrite(table, cur, merged, "overwrite")
+
+    def delete_where(self, spark: SparkSession, table: str, predicate: str) -> int:
+        """Copy-on-write row-level DELETE: keep only rows NOT matching
+        the SQL ``predicate``, committed as an overwrite snapshot."""
+        from pyspark.sql import functions as F
+
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"table {table!r} has no snapshots")
+        cur = snaps[-1]
+        kept = self.read(spark, table).filter(~F.expr(predicate))
+        return self._commit_rewrite(table, cur, kept, "overwrite")
+
+    def _commit_rewrite(
+        self, table: str, cur: dict, df: DataFrame, operation: str
+    ) -> int:
+        data_dir = self._new_data_dir(table, "w")
+        part_by = cur.get("partition_by") or []
+        writer = df.write.mode("overwrite")
+        if part_by:
+            writer = writer.partitionBy(*part_by)
+        writer.parquet(data_dir)
+        manifest = {
+            "id": cur["id"] + 1,
+            "parent": cur["id"],
+            "dirs": [data_dir],
+            "partition_by": part_by,
+            "schema": df.schema.jsonValue(),
+            "operation": operation,
+            "replaced_dirs": cur["dirs"],
+            "txn_ids": self._carried_txns(self.snapshots(table)),
         }
         return self._commit_manifest(table, manifest)
 
@@ -273,7 +471,17 @@ class Catalog:
                     "expired; incremental read impossible — run a full read"
                 )
             schema_json = snap.get("schema") or schema_json
-            if snap.get("operation", "append") == "append":
+            op = snap.get("operation", "append")
+            if op == "overwrite":
+                # merge/delete rewrote existing rows — the append-only
+                # delta across it is undefined (Iceberg's incremental
+                # append scan throws on overwrite snapshots too)
+                raise ValueError(
+                    f"snapshot {sid} of {table!r} is an overwrite "
+                    "(merge/delete); incremental append read impossible "
+                    "across it — run a full read"
+                )
+            if op == "append":
                 added.extend(d for d in snap["dirs"] if d not in prev_dirs)
             prev_dirs = set(snap["dirs"])
         schema = StructType.fromJson(schema_json) if schema_json else None
@@ -287,6 +495,47 @@ class Catalog:
             part = spark.read.parquet(d)
             df = part if df is None else df.unionByName(part)
         return df
+
+
+def zorder_expr(spark, df: DataFrame, cols: list[str], bits: int = 12):
+    """Column expression for the Z-order (Morton) value of ``cols``.
+
+    Each column is normalized to a ``bits``-bit integer over its
+    observed [min, max] (one tiny driver-side agg — two scalars per
+    column), then the bits are interleaved entirely with Catalyst
+    shift/and/or arithmetic: no UDF, stays inside whole-stage codegen.
+    Rows close in Z-value are close in EVERY listed dimension, so
+    range-partitioning files by this value gives each file a small
+    multi-dimensional bounding box — Delta/Iceberg OPTIMIZE ZORDER.
+    """
+    from pyspark.sql import functions as F
+
+    if not cols:
+        raise ValueError("zorder needs at least one column")
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError("n_cols * bits must fit a signed long")
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"__mn_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"__mx_{c}"))
+    r = df.agg(*aggs).collect()[0]
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn = float(r[f"__mn_{c}"] if r[f"__mn_{c}"] is not None else 0.0)
+        mx = float(r[f"__mx_{c}"] if r[f"__mx_{c}"] is not None else 0.0)
+        span = (mx - mn) or 1.0
+        scaled = (
+            (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn))
+            / F.lit(span)
+            * F.lit(float(top))
+        ).cast("long")
+        q = F.least(F.lit(top).cast("long"), F.greatest(F.lit(0).cast("long"), scaled))
+        for b in range(bits):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
 
 
 # ------------------------------------------------------- bucketed layout

@@ -37,6 +37,7 @@ from .features import with_all_features
 __all__ = [
     "IMAGES_SCHEMA",
     "stream_quality_filter",
+    "stream_quality_filter_to_catalog",
     "stream_event_window_counts",
     "stream_event_dedup",
     "stream_event_sessions",
@@ -96,6 +97,61 @@ def stream_quality_filter(
     writer = (
         labeled.writeStream.format("parquet")
         .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_quality_filter_to_catalog(
+    spark: SparkSession,
+    input_dir: str,
+    warehouse: str,
+    checkpoint_dir: str,
+    table: str = "labels",
+    available_now: bool = True,
+    schema: T.StructType = IMAGES_SCHEMA,
+    max_files_per_trigger: int = 8,
+    maintain_every: int = 0,
+):
+    """Stream the quality filter into a :class:`~qfilter.catalog.Catalog`
+    table with exactly-once micro-batch commits.
+
+    Each micro-batch is appended via ``Catalog.append_once`` keyed on
+    the engine's deterministic batchId, so a replayed batch (crash
+    between sink write and checkpoint advance — the foreachBatch
+    at-least-once window) commits zero duplicate rows.  This is the
+    streaming-into-Iceberg sink shape: every micro-commit is a snapshot,
+    time travel and incremental reads work mid-stream, and with
+    ``maintain_every`` = N the sink bin-packs + expires every N commits
+    — bounding the small-file growth a long-running stream otherwise
+    suffers (the #1 operational failure of streaming lakehouse sinks).
+
+    Returns the StreamingQuery.
+    """
+    from .catalog import Catalog, CommitConflict
+
+    catalog = Catalog(warehouse)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    labeled = with_labels(with_all_features(stream)).select(*LABEL_OUT_COLS)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        catalog.append_once(table, batch_df, txn_id=f"{checkpoint_dir}#{batch_id}")
+        if maintain_every and len(catalog.snapshots(table)) % maintain_every == 0:
+            try:
+                catalog.compact(spark, table)
+                catalog.expire_snapshots(table, keep_last=1)
+            except CommitConflict:
+                pass  # another writer landed mid-compaction; next cycle
+
+    writer = (
+        labeled.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
