@@ -228,6 +228,28 @@ class Catalog:
     def exists(self, table: str) -> bool:
         return bool(self.snapshots(table))
 
+    def history(self, spark: SparkSession, table: str) -> DataFrame:
+        """Snapshot-history metadata table (Iceberg's ``table.snapshots``):
+        one row per committed snapshot — id, parent, operation, commit
+        txn id, and how many data dirs it references.  Lets operators
+        audit a table's lifecycle with plain SQL."""
+        rows = [
+            (
+                s["id"],
+                s.get("parent"),
+                s.get("operation", "append"),
+                s.get("txn_id"),
+                len(s["dirs"]),
+                ",".join(s.get("partition_by") or []),
+            )
+            for s in self.snapshots(table)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent long, operation string, "
+            "txn_id string, n_dirs int, partition_by string",
+        )
+
     # ----------------------------------------------------- maintenance
     #
     # The three Iceberg table-maintenance operations a 100 TB deployment

@@ -173,6 +173,35 @@ def test_add_column_schema_evolution(spark, cat):
     assert old.columns == ["id", "bucket", "caption"]
 
 
+def test_partition_evolution(spark, cat):
+    """Iceberg partition evolution: the partition spec can change
+    between appends; old dirs keep their layout, reads span both."""
+    cat.append("pe", _mk(spark, 0, 30))                            # unpartitioned
+    cat.append("pe", _mk(spark, 30, 60), partition_by=["bucket"])  # evolved spec
+    df = cat.read(spark, "pe")
+    assert df.count() == 60
+    assert sorted(r["id"] for r in df.collect()) == list(range(60))
+    # partition column readable across the mixed layout
+    assert df.filter(F.col("bucket") == 1).count() == 20
+    before = _hash(df)
+    # compaction rewrites under the CURRENT (latest) spec
+    cat.compact(spark, "pe", target_file_bytes=1 << 30)
+    assert _hash(cat.read(spark, "pe")) == before
+    files = cat.table_data_files("pe")
+    assert all("bucket=" in f for f in files)
+
+
+def test_history_metadata_table(spark, cat):
+    cat.append("h", _mk(spark, 0, 10))
+    cat.append("h", _mk(spark, 10, 20))
+    cat.compact(spark, "h", target_file_bytes=1 << 30)
+    hist = cat.history(spark, "h").orderBy("snapshot_id").collect()
+    assert [r["snapshot_id"] for r in hist] == [0, 1, 2]
+    assert [r["parent"] for r in hist] == [None, 0, 1]
+    assert [r["operation"] for r in hist] == ["append", "append", "replace"]
+    assert [r["n_dirs"] for r in hist] == [1, 2, 1]
+
+
 def test_pipeline_maintain_then_resume(spark, smoke_dir, tmp_path_factory):
     """Compaction must not disturb resume: lineage, not file layout,
     carries the progress state."""
