@@ -31,6 +31,47 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["Catalog", "CommitConflict", "zorder_expr"]
 
+# ------------------------------------------------- file-stats pruning
+#
+# Iceberg manifests carry per-file lower_bounds/upper_bounds so SCAN
+# PLANNING — deciding which files a predicate can touch — happens on
+# manifest metadata alone, before a single data file (or even footer)
+# is opened.  At 100 TB that is the difference between a planning step
+# that reads a few MB of manifest and one that stats millions of
+# files.  We record the same bounds per file at commit time (the
+# writer just produced the files, so their footers are hot) and prune
+# in `plan_scan`/`scan`.  Bounds cover non-null values only — exactly
+# parquet's stats contract — so pruning is valid for null-rejecting
+# comparison predicates, which is all `scan` accepts.
+
+_SCAN_TYPES = (bool, int, float, str)
+
+
+def _keep_file(stats: dict | None, col: str, op: str, val) -> bool:
+    """Can a file with these bounds contain a row matching the
+    predicate?  Missing stats (unknown column, all-null file, legacy
+    manifest, non-orderable type) => True: pruning is only ever an
+    optimization, never a correctness lever."""
+    if not stats or col not in stats:
+        return True
+    mn, mx = stats[col]
+    try:
+        if op == "==":
+            return mn <= val <= mx
+        if op == "!=":
+            return not (mn == val == mx)
+        if op == ">":
+            return mx > val
+        if op == ">=":
+            return mx >= val
+        if op == "<":
+            return mn < val
+        if op == "<=":
+            return mn <= val
+    except TypeError:  # incomparable literal type — no pruning claim
+        return True
+    raise ValueError(f"unsupported scan op {op!r}")
+
 
 class CommitConflict(Exception):
     """Another writer committed the snapshot id first (optimistic
@@ -76,6 +117,83 @@ class Catalog:
             self._tdir(table), "data", f"{hint}-{uuid.uuid4().hex[:8]}"
         )
 
+    # -------------------------------------------------- file statistics
+    @staticmethod
+    def _collect_dir_stats(data_dir: str) -> dict[str, dict[str, list]]:
+        """Per-file column bounds for every parquet file under
+        ``data_dir``: ``{relpath: {col: [min, max]}}``.
+
+        Physical columns come from the parquet footer (row-group stats
+        folded to file level); hive-partition columns (``col=value``
+        path segments) become ``min == max`` bounds, so partition
+        pruning falls out of the same mechanism.  A column is recorded
+        only when EVERY row group has usable min/max of a JSON-safe
+        orderable type — anything else stays absent and the file is
+        never pruned on it.
+
+        Driver-side footer walk is the single-node analog of what real
+        Iceberg writers do for free (each write task emits its file's
+        bounds with the commit); it reads footers only, O(files)
+        metadata, and runs once per commit — not per query.
+        """
+        from urllib.parse import unquote
+
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict[str, list]] = {}
+        for root, _dirs, names in os.walk(data_dir):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                path = os.path.join(root, name)
+                rel = os.path.relpath(path, data_dir)
+                bounds: dict[str, list] = {}
+                bad: set[str] = set()
+                try:
+                    md = pq.ParquetFile(path).metadata
+                except Exception:
+                    out[rel] = {}
+                    continue
+                for rg in range(md.num_row_groups):
+                    rgm = md.row_group(rg)
+                    for ci in range(rgm.num_columns):
+                        cmeta = rgm.column(ci)
+                        col = cmeta.path_in_schema
+                        if col in bad:
+                            continue
+                        st = cmeta.statistics
+                        if (
+                            st is None
+                            or not st.has_min_max
+                            or not isinstance(st.min, _SCAN_TYPES)
+                            or not isinstance(st.max, _SCAN_TYPES)
+                        ):
+                            bad.add(col)
+                            bounds.pop(col, None)
+                            continue
+                        if col in bounds:
+                            bounds[col][0] = min(bounds[col][0], st.min)
+                            bounds[col][1] = max(bounds[col][1], st.max)
+                        else:
+                            bounds[col] = [st.min, st.max]
+                # hive partition segments: constant per file
+                for seg in os.path.dirname(rel).split(os.sep):
+                    if "=" not in seg:
+                        continue
+                    col, _, raw = seg.partition("=")
+                    if raw == "__HIVE_DEFAULT_PARTITION__":
+                        continue  # null partition: no bounds, never pruned
+                    val = unquote(raw)
+                    for cast in (int, float):
+                        try:
+                            val = cast(val)
+                            break
+                        except ValueError:
+                            pass
+                    bounds[col] = [val, val]
+                out[rel] = bounds
+        return out
+
     # ----------------------------------------------------------- append
     def append(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
         data_dir = self._new_data_dir(table, "a")
@@ -83,6 +201,7 @@ class Catalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
+        dir_stats = self._collect_dir_stats(data_dir)
         # optimistic-concurrency loop: data is written once; only the
         # manifest commit races.  Appends commute, so losing the CAS
         # just means rebasing onto the winner's snapshot and retrying.
@@ -98,6 +217,12 @@ class Catalog:
                 # schema travels in the manifest so empty tables (zero
                 # rows/files) still read back with the right columns
                 "schema": df.schema.jsonValue(),
+                # carry the parent's per-file bounds forward and add
+                # this append's — scan planning sees the whole snapshot
+                "stats": {
+                    **((snaps[-1].get("stats") or {}) if snaps else {}),
+                    data_dir: dir_stats,
+                },
             }
             try:
                 return self._commit_manifest(table, manifest)
@@ -128,6 +253,7 @@ class Catalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
+        dir_stats = self._collect_dir_stats(data_dir)
         while True:
             # re-check inside the CAS loop: a replayed twin may have
             # committed this txn while we were writing
@@ -145,6 +271,10 @@ class Catalog:
                 "partition_by": partition_by or [],
                 "schema": df.schema.jsonValue(),
                 "txn_id": txn_id,
+                "stats": {
+                    **((snaps[-1].get("stats") or {}) if snaps else {}),
+                    data_dir: dir_stats,
+                },
             }
             try:
                 return self._commit_manifest(table, manifest)
@@ -227,6 +357,116 @@ class Catalog:
 
     def exists(self, table: str) -> bool:
         return bool(self.snapshots(table))
+
+    # ---------------------------------------------------- scan planning
+    def plan_scan(
+        self,
+        table: str,
+        where: list[tuple[str, str, object]] | None = None,
+        snapshot: int | None = None,
+    ) -> tuple[dict[str, list[str]], int, int]:
+        """Iceberg scan planning: decide from manifest metadata alone
+        which data files a conjunctive predicate can touch.
+
+        ``where`` is a list of ``(column, op, literal)`` with op one of
+        ``== != < <= > >=`` — null-rejecting comparisons, the class of
+        predicate min/max bounds can prune.  Returns
+        ``({dir: [kept absolute file paths]}, n_kept, n_total)``; dirs
+        whose every file is pruned are absent.  No data file or footer
+        is opened — this runs entirely on the committed manifest.
+        """
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"table {table!r} has no snapshots")
+        snap = snaps[-1] if snapshot is None else next(
+            s for s in snaps if s["id"] == snapshot
+        )
+        all_stats = snap.get("stats") or {}
+        plan: dict[str, list[str]] = {}
+        n_kept = n_total = 0
+        for d in snap["dirs"]:
+            dir_stats = all_stats.get(d)
+            if dir_stats is None:
+                # legacy manifest (pre-stats) — enumerate, keep all
+                kept = [
+                    os.path.join(root, n)
+                    for root, _dirs, names in os.walk(d)
+                    for n in sorted(names)
+                    if n.endswith(".parquet")
+                ]
+                n_total += len(kept)
+            else:
+                n_total += len(dir_stats)
+                kept = [
+                    os.path.join(d, rel)
+                    for rel, bounds in dir_stats.items()
+                    if all(
+                        _keep_file(bounds, col, op, val)
+                        for col, op, val in (where or [])
+                    )
+                ]
+            if kept:
+                plan[d] = kept
+                n_kept += len(kept)
+        return plan, n_kept, n_total
+
+    def scan(
+        self,
+        spark: SparkSession,
+        table: str,
+        where: list[tuple[str, str, object]] | None = None,
+        snapshot: int | None = None,
+    ) -> DataFrame:
+        """Predicate-pruned read: like ``read`` but only the files
+        ``plan_scan`` keeps are ever handed to Spark, and the full
+        predicate is re-applied as a residual filter — stats bound
+        which files CAN match; the filter decides which rows DO.
+        Equivalent to ``read(...).filter(...)`` row-for-row; on a
+        sort/Z-order-compacted table it reads O(matching) files.
+        """
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        snaps = self.snapshots(table)
+        snap = snaps[-1] if snapshot is None else next(
+            s for s in snaps if s["id"] == snapshot
+        )
+        schema = StructType.fromJson(snap["schema"]) if snap.get("schema") else None
+        plan, _kept, _total = self.plan_scan(table, where, snapshot)
+        df = None
+        for d in snap["dirs"]:
+            files = plan.get(d)
+            if not files:
+                continue
+            # basePath keeps hive-partition column discovery working
+            # even though we list leaf files, not the dir root
+            part = spark.read.option("basePath", d).parquet(*files)
+            df = part if df is None else df.unionByName(part, allowMissingColumns=True)
+        if df is None:  # every file pruned (or empty table)
+            if schema is None:
+                raise FileNotFoundError(f"table {table!r} has no schema to scan")
+            df = spark.createDataFrame([], schema)
+        if schema is not None:
+            cols = [
+                F.col(f.name) if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+            df = df.select(*cols)
+        for col, op, val in where or []:
+            lit = F.lit(val)
+            c = F.col(col)
+            df = df.filter(
+                {
+                    "==": c == lit,
+                    "!=": c != lit,
+                    "<": c < lit,
+                    "<=": c <= lit,
+                    ">": c > lit,
+                    ">=": c >= lit,
+                }[op]
+            )
+        return df
 
     def history(self, spark: SparkSession, table: str) -> DataFrame:
         """Snapshot-history metadata table (Iceberg's ``table.snapshots``):
@@ -362,6 +602,7 @@ class Catalog:
             "sort_by": sort_by or [],
             "zorder_by": zorder_by or [],
             "txn_ids": self._carried_txns(snaps),
+            "stats": {data_dir: self._collect_dir_stats(data_dir)},
         }
         return self._commit_manifest(table, manifest)
 
@@ -423,6 +664,7 @@ class Catalog:
             "operation": operation,
             "replaced_dirs": cur["dirs"],
             "txn_ids": self._carried_txns(self.snapshots(table)),
+            "stats": {data_dir: self._collect_dir_stats(data_dir)},
         }
         return self._commit_manifest(table, manifest)
 
