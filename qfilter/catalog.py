@@ -358,6 +358,33 @@ class Catalog:
     def exists(self, table: str) -> bool:
         return bool(self.snapshots(table))
 
+    def files(self, spark: SparkSession, table: str, snapshot: int | None = None) -> DataFrame:
+        """File-inventory metadata table (Iceberg's ``table.files``):
+        one row per data file of a snapshot — path, dir, size, and the
+        manifest-recorded column bounds as JSON — so layout health
+        (small-file count, clustering quality, skew) is auditable with
+        plain SQL instead of a filesystem walk."""
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"table {table!r} has no snapshots")
+        snap = snaps[-1] if snapshot is None else next(
+            s for s in snaps if s["id"] == snapshot
+        )
+        all_stats = snap.get("stats") or {}
+        rows = []
+        for d in snap["dirs"]:
+            for rel, bounds in (all_stats.get(d) or {}).items():
+                path = os.path.join(d, rel)
+                try:
+                    size = os.path.getsize(path)
+                except OSError:
+                    size = None
+                rows.append((path, d, size, len(bounds), json.dumps(bounds, sort_keys=True)))
+        return spark.createDataFrame(
+            rows,
+            "file string, dir string, bytes long, n_bounded_cols int, bounds_json string",
+        )
+
     # ---------------------------------------------------- scan planning
     def plan_scan(
         self,

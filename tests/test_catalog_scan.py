@@ -141,6 +141,23 @@ def test_legacy_manifest_without_stats_scans_full(spark, cat):
     assert cat.scan(spark, "l", [("id", ">=", 90)]).count() == 10
 
 
+def test_files_metadata_table(spark, cat):
+    for i in range(3):
+        cat.append("f", _mk(spark, i * 100, (i + 1) * 100))
+    inv = cat.files(spark, "f")
+    n_fs = len(cat.table_data_files("f"))
+    assert inv.count() == n_fs
+    rows = inv.collect()
+    assert all(r["bytes"] and r["bytes"] > 0 for r in rows)
+    assert all(r["n_bounded_cols"] >= 2 for r in rows)  # id + bucket at least
+    b = json.loads(rows[0]["bounds_json"])
+    assert "id" in b and b["id"][0] <= b["id"][1]
+    # small-file audit in plain SQL: the whole point of the table
+    inv.createOrReplaceTempView("f_files")
+    small = spark.sql("select count(*) n from f_files where bytes < 1024e3").collect()[0]["n"]
+    assert small == n_fs
+
+
 def test_rewrite_ops_refresh_stats(spark, cat):
     cat.append("m", _mk(spark, 0, 100))
     cat.delete_where(spark, "m", "id < 50")
