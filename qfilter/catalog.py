@@ -223,6 +223,15 @@ class Catalog:
                     **((snaps[-1].get("stats") or {}) if snaps else {}),
                     data_dir: dir_stats,
                 },
+                # merge-on-read bookkeeping: pending equality-delete
+                # specs survive an append (they still mask the OLD
+                # dirs), and each dir remembers the snapshot that added
+                # it so a delete never masks data committed after it
+                "delete_specs": (snaps[-1].get("delete_specs") or []) if snaps else [],
+                "dir_added": {
+                    **((snaps[-1].get("dir_added") or {}) if snaps else {}),
+                    data_dir: sid,
+                },
             }
             try:
                 return self._commit_manifest(table, manifest)
@@ -274,6 +283,11 @@ class Catalog:
                 "stats": {
                     **((snaps[-1].get("stats") or {}) if snaps else {}),
                     data_dir: dir_stats,
+                },
+                "delete_specs": (snaps[-1].get("delete_specs") or []) if snaps else [],
+                "dir_added": {
+                    **((snaps[-1].get("dir_added") or {}) if snaps else {}),
+                    data_dir: sid,
                 },
             }
             try:
@@ -327,33 +341,85 @@ class Catalog:
         if not snaps:
             raise FileNotFoundError(f"table {table!r} has no snapshots")
         snap = snaps[-1] if snapshot is None else next(s for s in snaps if s["id"] == snapshot)
-        # per-dir reads + unionByName: keeps partition-column discovery
-        # working per snapshot dir regardless of layout
+        return self._assemble(spark, snap, files_by_dir=None)
+
+    def _assemble(
+        self,
+        spark: SparkSession,
+        snap: dict,
+        files_by_dir: dict[str, list[str]] | None,
+    ) -> DataFrame:
+        """Materialize a snapshot: per-dir reads + unionByName (keeps
+        partition-column discovery working per dir regardless of
+        layout), schema alignment, then any pending merge-on-read
+        equality deletes.  ``files_by_dir`` narrows each dir to a
+        pruned file list (scan path); None reads whole dirs.
+
+        Equality deletes are scoped by commit order: a delete spec
+        masks only dirs ADDED before it committed (Iceberg's sequence
+        numbers), so rows re-inserted after the delete survive.  Dirs
+        are grouped by their applicable spec set, each group gets one
+        left-anti join per spec — with a small delete file Spark
+        broadcasts it and the mask costs one shuffle-free scan.
+        """
+        from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(snap["schema"]) if snap.get("schema") else None
-        df = None
-        for d in snap["dirs"]:
-            try:
-                part = spark.read.parquet(d)
-            except Exception:
-                if schema is None:
-                    raise
-                part = spark.createDataFrame([], schema)
-            # allowMissingColumns = add-column schema evolution: dirs
-            # written before a column existed read back as null for it
-            # (Iceberg's default add-column semantics)
-            df = part if df is None else df.unionByName(part, allowMissingColumns=True)
-        if schema is not None:
-            from pyspark.sql import functions as F
+        specs = snap.get("delete_specs") or []
+        dir_added = snap.get("dir_added") or {}
 
+        def align(df):
+            if schema is None:
+                return df
             cols = [
                 F.col(f.name) if f.name in df.columns
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in schema.fields
             ]
-            df = df.select(*cols)
-        return df
+            return df.select(*cols)
+
+        # group dirs by which delete specs apply to them
+        groups: dict[tuple[int, ...], list[str]] = {}
+        for d in snap["dirs"]:
+            if files_by_dir is not None and not files_by_dir.get(d):
+                continue  # every file of this dir was pruned
+            # unknown add id (legacy manifest) => 0: deletes apply —
+            # legacy manifests predate MOR deletes, so specs only ever
+            # exist alongside complete dir_added bookkeeping
+            added = dir_added.get(d, 0)
+            key = tuple(i for i, sp in enumerate(specs) if added < sp["id"])
+            groups.setdefault(key, []).append(d)
+
+        out = None
+        for key, dirs in groups.items():
+            df = None
+            for d in dirs:
+                try:
+                    if files_by_dir is None:
+                        part = spark.read.parquet(d)
+                    else:
+                        # basePath keeps hive-partition columns visible
+                        # even though we hand Spark leaf files
+                        part = spark.read.option("basePath", d).parquet(*files_by_dir[d])
+                except Exception:
+                    if schema is None:
+                        raise
+                    part = spark.createDataFrame([], schema)
+                # allowMissingColumns = add-column schema evolution:
+                # dirs written before a column existed read as null
+                df = part if df is None else df.unionByName(part, allowMissingColumns=True)
+            df = align(df)
+            for i in key:
+                sp = specs[i]
+                keys = spark.read.parquet(sp["dir"]).select(*sp["cols"]).distinct()
+                df = df.join(keys, on=sp["cols"], how="left_anti")
+            out = df if out is None else out.unionByName(df)
+        if out is None:  # empty table or fully pruned scan
+            if schema is None:
+                raise FileNotFoundError("snapshot has no schema to read")
+            out = align(spark.createDataFrame([], schema))
+        return out
 
     def exists(self, table: str) -> bool:
         return bool(self.snapshots(table))
@@ -452,34 +518,13 @@ class Catalog:
         sort/Z-order-compacted table it reads O(matching) files.
         """
         from pyspark.sql import functions as F
-        from pyspark.sql.types import StructType
 
         snaps = self.snapshots(table)
         snap = snaps[-1] if snapshot is None else next(
             s for s in snaps if s["id"] == snapshot
         )
-        schema = StructType.fromJson(snap["schema"]) if snap.get("schema") else None
         plan, _kept, _total = self.plan_scan(table, where, snapshot)
-        df = None
-        for d in snap["dirs"]:
-            files = plan.get(d)
-            if not files:
-                continue
-            # basePath keeps hive-partition column discovery working
-            # even though we list leaf files, not the dir root
-            part = spark.read.option("basePath", d).parquet(*files)
-            df = part if df is None else df.unionByName(part, allowMissingColumns=True)
-        if df is None:  # every file pruned (or empty table)
-            if schema is None:
-                raise FileNotFoundError(f"table {table!r} has no schema to scan")
-            df = spark.createDataFrame([], schema)
-        if schema is not None:
-            cols = [
-                F.col(f.name) if f.name in df.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in schema.fields
-            ]
-            df = df.select(*cols)
+        df = self._assemble(spark, snap, files_by_dir=plan)
         for col, op, val in where or []:
             lit = F.lit(val)
             c = F.col(col)
@@ -630,6 +675,9 @@ class Catalog:
             "zorder_by": zorder_by or [],
             "txn_ids": self._carried_txns(snaps),
             "stats": {data_dir: self._collect_dir_stats(data_dir)},
+            # the rewrite materialized any pending equality deletes
+            "delete_specs": [],
+            "dir_added": {data_dir: cur["id"] + 1},
         }
         return self._commit_manifest(table, manifest)
 
@@ -661,17 +709,67 @@ class Catalog:
         merged = merged.unionByName(source.select(*target.columns))
         return self._commit_rewrite(table, cur, merged, "overwrite")
 
-    def delete_where(self, spark: SparkSession, table: str, predicate: str) -> int:
-        """Copy-on-write row-level DELETE: keep only rows NOT matching
-        the SQL ``predicate``, committed as an overwrite snapshot."""
+    def delete_where(
+        self,
+        spark: SparkSession,
+        table: str,
+        predicate: str,
+        mode: str = "copy-on-write",
+        equality_cols: list[str] | None = None,
+    ) -> int:
+        """Row-level DELETE of rows matching the SQL ``predicate``.
+
+        ``copy-on-write`` (default) rewrites the table minus the
+        matching rows — read-optimal, but the write costs a full
+        rewrite even for a 0.001% delete.  ``merge-on-read`` is
+        Iceberg v2's equality-delete path: write only the DISTINCT
+        ``equality_cols`` key tuples of the matching rows as a small
+        delete file and commit a "delete" snapshot; readers anti-join
+        it until the next ``compact`` materializes the delete.  On a
+        100 TB table a targeted delete (GDPR erasure, bad-batch
+        retraction) then costs KB of writes, not a table rewrite.
+        The delete masks only data committed before it — later
+        re-inserts of the same keys survive (sequence-number scoping).
+        Null equality keys never match, per SQL join semantics.
+        """
         from pyspark.sql import functions as F
 
         snaps = self.snapshots(table)
         if not snaps:
             raise FileNotFoundError(f"table {table!r} has no snapshots")
         cur = snaps[-1]
-        kept = self.read(spark, table).filter(~F.expr(predicate))
-        return self._commit_rewrite(table, cur, kept, "overwrite")
+        if mode == "copy-on-write":
+            kept = self.read(spark, table).filter(~F.expr(predicate))
+            return self._commit_rewrite(table, cur, kept, "overwrite")
+        if mode != "merge-on-read":
+            raise ValueError(f"unknown delete mode {mode!r}")
+        if not equality_cols:
+            raise ValueError("merge-on-read delete requires equality_cols")
+        keys = (
+            self.read(spark, table)
+            .filter(F.expr(predicate))
+            .select(*equality_cols)
+            .distinct()
+        )
+        ddir = self._new_data_dir(table, "del")
+        keys.write.mode("overwrite").parquet(ddir)
+        sid = cur["id"] + 1
+        manifest = {
+            "id": sid,
+            "parent": cur["id"],
+            "dirs": cur["dirs"],
+            "partition_by": cur.get("partition_by") or [],
+            "schema": cur.get("schema"),
+            "operation": "delete",
+            "txn_ids": self._carried_txns(snaps),
+            "stats": cur.get("stats") or {},
+            "delete_specs": (cur.get("delete_specs") or [])
+            + [{"dir": ddir, "cols": list(equality_cols), "id": sid}],
+            "dir_added": cur.get("dir_added") or {},
+        }
+        # like compact: computed against `cur` — a concurrent commit
+        # invalidates the key set, so surface the conflict
+        return self._commit_manifest(table, manifest)
 
     def _commit_rewrite(
         self, table: str, cur: dict, df: DataFrame, operation: str
@@ -692,6 +790,8 @@ class Catalog:
             "replaced_dirs": cur["dirs"],
             "txn_ids": self._carried_txns(self.snapshots(table)),
             "stats": {data_dir: self._collect_dir_stats(data_dir)},
+            "delete_specs": [],
+            "dir_added": {data_dir: cur["id"] + 1},
         }
         return self._commit_manifest(table, manifest)
 
@@ -707,7 +807,11 @@ class Catalog:
             raise ValueError("keep_last must be >= 1")
         snaps = self.snapshots(table)
         retained, expired = snaps[-keep_last:], snaps[:-keep_last]
-        keep_dirs = {os.path.normpath(d) for s in retained for d in s["dirs"]}
+        keep_dirs = {os.path.normpath(d) for s in retained for d in s["dirs"]} | {
+            os.path.normpath(sp["dir"])
+            for s in retained
+            for sp in s.get("delete_specs", [])
+        }
         deleted: list[str] = []
         data_root = os.path.join(self._tdir(table), "data")
         if os.path.isdir(data_root):
@@ -732,8 +836,11 @@ class Catalog:
     ) -> DataFrame:
         """Rows appended AFTER ``since_snapshot`` up to ``to_snapshot``
         (default: current).  Skips "replace" (compaction) snapshots —
-        they add no rows.  Raises if the chain has been expired, because
-        then the appended set can no longer be reconstructed.
+        they add no rows.  Merge-on-read "delete" snapshots are also
+        skipped: this is Iceberg's incremental APPEND scan, which by
+        contract surfaces appended rows only and never retracts.
+        Raises if the chain has been expired, because then the appended
+        set can no longer be reconstructed.
         """
         from pyspark.sql.types import StructType
 
