@@ -1963,4 +1963,37 @@ def deregistered_checks() -> dict:
             HAVING max(ts) + INTERVAL '30 minutes'
                    <= date_trunc('milliseconds', m.mx) - INTERVAL '2 hours'
         """),
+        # round-4 additions: deterministic split / exact stratified
+        # sample (training-pipeline reproducibility ops; the MINSTD
+        # double-round hash and integer keep-rule are chosen to be
+        # expressible identically in both engines — see corpus.py)
+        "dataset_split": (corpus.dataset_split, """
+            WITH h AS (
+              SELECT doc_id, lang,
+                     ((doc_id % 2147483647) * 48271 % 2147483647)
+                       * 48271 % 2147483647 AS hh
+              FROM documents
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN hh < 1717986917 THEN 'train'
+                        WHEN hh < 1932735282 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h
+        """),
+        "stratified_sample": (corpus.stratified_sample, """
+            WITH h AS (
+              SELECT doc_id, lang,
+                     ((doc_id % 2147483647) * 48271 % 2147483647)
+                       * 48271 % 2147483647 AS hh
+              FROM documents
+            ), r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY hh, doc_id) AS sample_rank,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM h
+            )
+            SELECT doc_id, lang, sample_rank
+            FROM r WHERE (sample_rank - 1) * 5 < n * 1
+        """),
     }

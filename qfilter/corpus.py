@@ -111,6 +111,73 @@ def lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- deterministic splits/samples
+#
+# Reproducible dataset assignment is a first-class training-pipeline
+# op: the SAME doc must land in the SAME split on every run, on any
+# cluster, at any parallelism — so assignment must be a pure function
+# of the key, never of sampling order.  The hash here is a two-round
+# Lehmer/MINSTD multiplicative hash over the Mersenne prime 2^31-1:
+# exact 64-bit-safe integer arithmetic expressible IDENTICALLY in
+# Spark SQL and ANSI SQL, so the whole contract is oracle-checkable
+# bit-for-bit (xxhash64 would be the engine-native choice but has no
+# DuckDB twin).  Zero shuffle for the split; one shuffle (by stratum)
+# for the exact stratified sample.
+
+_SPLIT_M = 2147483647  # 2^31 - 1
+_SPLIT_A = 48271  # MINSTD multiplier
+
+
+def _split_hash(col):
+    # (x % M) * A fits 64-bit: (M-1) * 48271 ~ 1.04e14 << 2^63
+    h = F.pmod(F.pmod(col, F.lit(_SPLIT_M)) * _SPLIT_A, F.lit(_SPLIT_M))
+    return F.pmod(h * _SPLIT_A, F.lit(_SPLIT_M))
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment, pure function of doc_id.
+    Narrow (zero-shuffle) at any scale; thresholds are integer
+    constants (floor of 0.8/0.9 * (2^31-1)) so no float crosses an
+    engine boundary."""
+    docs = load(spark, sf_dir, "documents")
+    h = _split_hash(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(h < 1717986917, "train")
+        .when(h < 1932735282, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def stratified_sample(
+    spark: SparkSession, sf_dir: str, num: int = 1, den: int = 5
+) -> DataFrame:
+    """Exact per-language ``num/den`` sample: rank docs inside each
+    stratum by the deterministic hash and keep the first
+    ceil(n * num / den).  Unlike fraction-threshold sampling this is
+    EXACT per stratum (ceil, never ±binomial noise), at the cost of
+    one shuffle by stratum + a window; the keep condition
+    ``(rank-1) * den < n * num`` is pure integer math, identical in
+    any SQL engine."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _split_hash(F.col("doc_id")).alias("h")
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("sample_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("_n"),
+    )
+    return ranked.filter(
+        (F.col("sample_rank") - 1) * den < F.col("_n") * num
+    ).select("doc_id", "lang", "sample_rank")
+
+
 # ---------------------------------------------------------------- dedup
 
 def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,68 @@
+"""Deterministic dataset split / exact stratified sample.
+
+The training-reproducibility contract: assignment is a pure function
+of the key — identical at any parallelism, partitioning, or run — and
+the stratified sample is EXACT per stratum (ceil(n/den*num) rows, not
+±binomial noise).  Oracle parity vs DuckDB is covered by
+tests/test_oracle_parity.py (deregistered_checks); these tests cover
+the scale properties an oracle diff can't.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from qfilter.corpus import dataset_split, stratified_sample
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _collect_map(df, key="doc_id", val="split"):
+    return {r[key]: r[val] for r in df.collect()}
+
+
+def test_split_is_parallelism_invariant(spark):
+    a = _collect_map(dataset_split(spark, SF_DIR))
+    b = _collect_map(dataset_split(spark, SF_DIR).repartition(17))
+    c = _collect_map(dataset_split(spark, SF_DIR).coalesce(1))
+    assert a == b == c
+
+
+def test_split_partitions_the_corpus(spark):
+    df = dataset_split(spark, SF_DIR)
+    n = df.count()
+    counts = {r["split"]: r["n"] for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n  # disjoint + complete by construction
+    # 80/10/10 within binomial tolerance at n=500
+    assert abs(counts.get("train", 0) / n - 0.8) < 0.06
+    assert abs(counts.get("val", 0) / n - 0.1) < 0.05
+    assert abs(counts.get("test", 0) / n - 0.1) < 0.05
+
+
+def test_split_plan_is_narrow(spark):
+    # zero-shuffle: no Exchange in the plan — assignment must stay a
+    # per-row projection at any table size
+    plan = dataset_split(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_is_exact_per_stratum(spark):
+    langs = {
+        r["lang"]: r["n"]
+        for r in dataset_split(spark, SF_DIR).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r["lang"]: r["n"]
+        for r in stratified_sample(spark, SF_DIR).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {lang: math.ceil(n / 5) for lang, n in langs.items()}
+
+
+def test_stratified_sample_is_a_deterministic_subset(spark):
+    s1 = sorted(r["doc_id"] for r in stratified_sample(spark, SF_DIR).collect())
+    s2 = sorted(r["doc_id"] for r in stratified_sample(spark, SF_DIR).collect())
+    assert s1 == s2
+    all_ids = {r["doc_id"] for r in dataset_split(spark, SF_DIR).collect()}
+    assert set(s1) <= all_ids
