@@ -520,6 +520,8 @@ class Catalog:
         from pyspark.sql import functions as F
 
         snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"table {table!r} has no snapshots")
         snap = snaps[-1] if snapshot is None else next(
             s for s in snaps if s["id"] == snapshot
         )
