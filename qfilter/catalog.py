@@ -295,6 +295,109 @@ class Catalog:
             except CommitConflict:
                 continue
 
+    # -------------------------------------------- write-audit-publish
+    #
+    # Iceberg's WAP flow (spark.wap.id): a writer STAGES a commit that
+    # no reader sees, an audit job validates the staged rows (row
+    # counts, null rates, distribution drift), and only then is the
+    # commit PUBLISHED into the table — or aborted, leaving no trace.
+    # The data files are written exactly once: publish is a metadata
+    # CAS, not a rewrite, so the audit gate costs nothing at 100 TB.
+
+    def _staged_dir(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "staged")
+
+    def append_staged(
+        self, table: str, df: DataFrame, partition_by: list[str] | None = None
+    ) -> str:
+        """Write an append WITHOUT committing it: data + per-file stats
+        land on disk, a staged manifest records them, and a ``wap_id``
+        is returned for ``read_staged`` / ``publish_staged`` /
+        ``abort_staged``.  Readers of the table never see staged rows."""
+        wap_id = uuid.uuid4().hex[:12]
+        data_dir = self._new_data_dir(table, "s")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        staged = {
+            "wap_id": wap_id,
+            "dir": data_dir,
+            "partition_by": partition_by or [],
+            "schema": df.schema.jsonValue(),
+            "dir_stats": self._collect_dir_stats(data_dir),
+        }
+        os.makedirs(self._staged_dir(table), exist_ok=True)
+        tmp = os.path.join(self._staged_dir(table), f".{wap_id}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(staged, f)
+        os.replace(tmp, os.path.join(self._staged_dir(table), f"{wap_id}.json"))
+        return wap_id
+
+    def _staged(self, table: str, wap_id: str) -> dict:
+        path = os.path.join(self._staged_dir(table), f"{wap_id}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no staged commit {wap_id!r} on {table!r}")
+        with open(path) as f:
+            return json.load(f)
+
+    def staged_ids(self, table: str) -> list[str]:
+        sdir = self._staged_dir(table)
+        if not os.path.isdir(sdir):
+            return []
+        return sorted(n[:-5] for n in os.listdir(sdir) if n.endswith(".json"))
+
+    def read_staged(self, spark: SparkSession, table: str, wap_id: str) -> DataFrame:
+        """The audit view: current table plus the staged rows — what
+        the table WILL look like if the commit is published."""
+        staged = self._staged(table, wap_id)
+        part = spark.read.parquet(staged["dir"])
+        if not self.exists(table):
+            return part
+        return self.read(spark, table).unionByName(part, allowMissingColumns=True)
+
+    def publish_staged(self, table: str, wap_id: str) -> int:
+        """Commit a staged append into the table — pure metadata CAS
+        over the already-written data dir (Iceberg's cherry-pick):
+        rebases over any appends that landed since staging."""
+        staged = self._staged(table, wap_id)
+        while True:
+            snaps = self.snapshots(table)
+            sid = (snaps[-1]["id"] + 1) if snaps else 0
+            parent_dirs = snaps[-1]["dirs"] if snaps else []
+            manifest = {
+                "id": sid,
+                "parent": snaps[-1]["id"] if snaps else None,
+                "dirs": parent_dirs + [staged["dir"]],
+                "partition_by": staged["partition_by"],
+                "schema": staged["schema"],
+                "operation": "append",
+                "wap_id": wap_id,
+                "stats": {
+                    **((snaps[-1].get("stats") or {}) if snaps else {}),
+                    staged["dir"]: staged["dir_stats"],
+                },
+                "delete_specs": (snaps[-1].get("delete_specs") or []) if snaps else [],
+                "dir_added": {
+                    **((snaps[-1].get("dir_added") or {}) if snaps else {}),
+                    staged["dir"]: sid,
+                },
+            }
+            try:
+                out = self._commit_manifest(table, manifest)
+                break
+            except CommitConflict:
+                continue
+        os.remove(os.path.join(self._staged_dir(table), f"{wap_id}.json"))
+        return out
+
+    def abort_staged(self, table: str, wap_id: str) -> None:
+        """Drop a staged commit: audit failed, nothing was ever
+        visible, nothing remains."""
+        staged = self._staged(table, wap_id)
+        shutil.rmtree(staged["dir"], ignore_errors=True)
+        os.remove(os.path.join(self._staged_dir(table), f"{wap_id}.json"))
+
     def _txn_snapshot(self, table: str, txn_id: str) -> int | None:
         for s in self.snapshots(table):
             if s.get("txn_id") == txn_id or txn_id in s.get("txn_ids", []):
@@ -813,6 +916,10 @@ class Catalog:
             os.path.normpath(sp["dir"])
             for s in retained
             for sp in s.get("delete_specs", [])
+        } | {
+            # staged-but-unpublished WAP commits are live, not orphans
+            os.path.normpath(self._staged(table, w)["dir"])
+            for w in self.staged_ids(table)
         }
         deleted: list[str] = []
         data_root = os.path.join(self._tdir(table), "data")
