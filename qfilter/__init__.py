@@ -21,7 +21,9 @@ dedup      : salted two-phase pHash dedup
 pipeline   : stage graph + lineage/metrics + resume-from-checkpoint
 catalog    : thin Iceberg-style parquet table layer
 corpus     : text-corpus analytics ops over the `documents` table
+             (+ deterministic dataset split / stratified sampling)
 similarity : embedding ANN / LSH ops over the `embeddings` table
+augment    : deterministic flip/crop/brightness training-data variants
 session    : SparkSession factory with scale-oriented defaults
 """
 
