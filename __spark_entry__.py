@@ -1996,4 +1996,17 @@ def deregistered_checks() -> dict:
             SELECT doc_id, lang, sample_rank
             FROM r WHERE (sample_rank - 1) * 5 < n * 1
         """),
+        "pack_shards": (corpus.pack_shards, """
+            SELECT doc_id, lang, n_chars,
+                   CAST(floor(
+                     COALESCE(sum(n_chars) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / 4000.0) AS BIGINT) AS shard_id,
+                   CAST(COALESCE(sum(n_chars) OVER (
+                     PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS offset_chars
+            FROM documents
+        """),
     }

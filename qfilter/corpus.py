@@ -178,6 +178,39 @@ def stratified_sample(
     ).select("doc_id", "lang", "sample_rank")
 
 
+def pack_shards(
+    spark: SparkSession, sf_dir: str, budget_chars: int = 4000
+) -> DataFrame:
+    """Pack documents into fixed-budget training shards.
+
+    LLM training wants shards of ~equal token mass, assembled
+    DETERMINISTICALLY (re-runs must produce the same shard manifest, or
+    downstream checkpoint/resume breaks).  Assignment rule: within each
+    language, in doc_id order, a doc joins shard
+    ``floor(chars_before_it / budget)`` — a pure window cumsum, so the
+    whole packing is one shuffle (by stratum) + one sorted window pass,
+    parallel across strata at any scale, and expressible identically
+    in any SQL engine (unlike true next-fit packing, which is a
+    sequential scan).  Shards fill to ~budget; a doc straddling a
+    boundary belongs to the shard its first char falls in.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    cum_before = F.coalesce(
+        F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.floor(cum_before / budget_chars).cast("long").alias("shard_id"),
+        cum_before.alias("offset_chars"),
+    )
+
+
 # ---------------------------------------------------------------- dedup
 
 def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

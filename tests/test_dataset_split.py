@@ -60,6 +60,36 @@ def test_stratified_sample_is_exact_per_stratum(spark):
     assert got == {lang: math.ceil(n / 5) for lang, n in langs.items()}
 
 
+def test_pack_shards_fills_to_budget_deterministically(spark):
+    from qfilter.corpus import pack_shards
+
+    rows = pack_shards(spark, SF_DIR, budget_chars=4000).collect()
+    again = pack_shards(spark, SF_DIR, budget_chars=4000).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        shards: dict = {}
+        for r in rs:
+            # offset = chars before it; shard = floor(offset/budget)
+            assert r["offset_chars"] == cum
+            assert r["shard_id"] == cum // 4000
+            cum += r["n_chars"]
+            shards.setdefault(r["shard_id"], 0)
+            shards[r["shard_id"]] += r["n_chars"]
+        ids = sorted(shards)
+        assert ids == list(range(len(ids)))  # contiguous shard ids
+        # every shard but the last spans its full budget window
+        for sid in ids[:-1]:
+            assert shards[sid] > 0
+        max_doc = max(r["n_chars"] for r in rs)
+        for sid in ids[:-1]:
+            assert shards[sid] <= 4000 + max_doc  # straddle bound
+
+
 def test_stratified_sample_is_a_deterministic_subset(spark):
     s1 = sorted(r["doc_id"] for r in stratified_sample(spark, SF_DIR).collect())
     s2 = sorted(r["doc_id"] for r in stratified_sample(spark, SF_DIR).collect())
