@@ -900,6 +900,29 @@ class Catalog:
         }
         return self._commit_manifest(table, manifest)
 
+    def rollback(self, table: str, snapshot: int) -> int:
+        """Roll the table back to an earlier snapshot (Iceberg's
+        ``rollback_to_snapshot``): commits a NEW snapshot that
+        re-references the old state's dirs/stats/deletes verbatim —
+        pure metadata, no data movement, and the bad snapshots stay
+        readable for forensics until expiry."""
+        snaps = self.snapshots(table)
+        target = next((s for s in snaps if s["id"] == snapshot), None)
+        if target is None:
+            raise ValueError(f"snapshot {snapshot} of {table!r} does not exist")
+        cur = snaps[-1]
+        manifest = {
+            **{k: target[k] for k in target if k not in ("id", "parent", "operation", "txn_id")},
+            "id": cur["id"] + 1,
+            "parent": cur["id"],
+            "operation": "rollback",
+            "rolled_back_to": snapshot,
+            # exactly-once txns committed since the target must STAY
+            # committed: a rollback is not permission to replay them
+            "txn_ids": self._carried_txns(snaps),
+        }
+        return self._commit_manifest(table, manifest)
+
     def expire_snapshots(self, table: str, keep_last: int = 1) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots and delete every
         data dir they exclusively referenced — including orphan dirs a
@@ -979,14 +1002,15 @@ class Catalog:
                 )
             schema_json = snap.get("schema") or schema_json
             op = snap.get("operation", "append")
-            if op == "overwrite":
-                # merge/delete rewrote existing rows — the append-only
-                # delta across it is undefined (Iceberg's incremental
-                # append scan throws on overwrite snapshots too)
+            if op in ("overwrite", "rollback"):
+                # merge/delete rewrote existing rows, rollback removed
+                # some — the append-only delta across either is
+                # undefined (Iceberg's incremental append scan throws
+                # on overwrite snapshots too)
                 raise ValueError(
-                    f"snapshot {sid} of {table!r} is an overwrite "
-                    "(merge/delete); incremental append read impossible "
-                    "across it — run a full read"
+                    f"snapshot {sid} of {table!r} is an {op}; "
+                    "incremental append read impossible across it — "
+                    "run a full read"
                 )
             if op == "append":
                 added.extend(d for d in snap["dirs"] if d not in prev_dirs)

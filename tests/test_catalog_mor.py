@@ -119,6 +119,28 @@ def test_incremental_scan_skips_delete_snapshots(spark, cat):
     assert sorted(r["id"] for r in inc.select("id").collect()) == list(range(50, 80))
 
 
+def test_rollback_restores_state_without_data_movement(spark, cat):
+    cat.append("t", _mk(spark, 0, 50))
+    good = _hash(cat.read(spark, "t"))
+    cat.append("t", _mk(spark, 50, 999))          # bad batch
+    cat.delete_where(spark, "t", "id >= 900", mode="merge-on-read", equality_cols=["id"])
+    sid = cat.rollback("t", 0)
+    assert _hash(cat.read(spark, "t")) == good
+    assert cat.current_snapshot("t")["id"] == sid
+    hist = cat.history(spark, "t").orderBy("snapshot_id").collect()
+    assert hist[-1]["operation"] == "rollback"
+    # bad snapshots stay readable for forensics
+    assert cat.read(spark, "t", snapshot=1).count() == 999
+    # table keeps working after rollback
+    cat.append("t", _mk(spark, 50, 60))
+    assert cat.read(spark, "t").count() == 60
+    # ...but an incremental scan across the rollback must refuse
+    with pytest.raises(ValueError, match="rollback"):
+        cat.read_incremental(spark, "t", since_snapshot=1)
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.rollback("t", 99)
+
+
 def test_mor_delete_conflicts_like_compact(spark, cat):
     cat.append("t", _mk(spark, 0, 50))
     cur = cat.current_snapshot("t")
