@@ -102,6 +102,34 @@ def test_spark_matches_single_node_oracle_bit_exact(spark, img_df):
             assert (got["h"], got["w"]) == want.shape[:2]
 
 
+def test_stream_augment_matches_batch(spark, img_df, tmp_path_factory):
+    """mapInPandas augmentation is stream-compatible: an availableNow
+    drain over a file source produces byte-identical output to the
+    batch run — determinism is what makes augmented shards safely
+    re-creatable after a stream restart."""
+    landing = str(tmp_path_factory.mktemp("aug_landing"))
+    out = str(tmp_path_factory.mktemp("aug_out"))
+    ckpt = str(tmp_path_factory.mktemp("aug_ckpt"))
+    img_df.repartition(3).write.mode("overwrite").parquet(landing)
+    src = spark.readStream.schema(
+        spark.read.parquet(landing).schema
+    ).parquet(landing)
+    q = (
+        with_augmented(src, variants=2)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "availableNow drain timed out"
+    streamed = spark.read.parquet(out)
+    batch = with_augmented(spark.read.parquet(landing), variants=2)
+    assert streamed.count() == batch.count() == 7 * 2
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
 def test_augment_plan_has_no_exchange(spark, img_df):
     plan = with_augmented(img_df, variants=2)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
