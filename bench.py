@@ -275,6 +275,20 @@ def run_suite(spark, sf_dir: str, tier: str):
             "weighted_median",
             lambda: corpus.weighted_median_value(spark, sf_dir).count(),
         )
+        # round-4 addition: deterministic augmentation (decode ->
+        # flip/crop/brightness -> re-encode, 2 variants).  A hash
+        # quarter-slice bounds bench wall; the stage is embarrassingly
+        # parallel so images/sec extrapolates linearly.
+        from qfilter.augment import with_augmented
+
+        aug_slice = images.filter(F.crc32(F.col("image_id")) % 4 == 0)
+
+        def augment_2x():
+            with_augmented(aug_slice, variants=2).write.mode("overwrite").parquet(
+                os.path.join(sink, "augmented")
+            )
+
+        timed("augment_2x", augment_2x)
     finally:
         shutil.rmtree(sink, ignore_errors=True)
     return timings, walls, metrics, n_images, keep_f1
