@@ -179,7 +179,10 @@ def stratified_sample(
 
 
 def pack_shards(
-    spark: SparkSession, sf_dir: str, budget_chars: int = 4000
+    spark: SparkSession,
+    sf_dir: str,
+    budget_chars: int = 4000,
+    sub_strata: int = 1,
 ) -> DataFrame:
     """Pack documents into fixed-budget training shards.
 
@@ -193,17 +196,31 @@ def pack_shards(
     in any SQL engine (unlike true next-fit packing, which is a
     sequential scan).  Shards fill to ~budget; a doc straddling a
     boundary belongs to the shard its first char falls in.
+
+    A language stratum is one window partition — one task.  When one
+    stratum dominates the corpus (English at web scale), pass
+    ``sub_strata`` > 1: packing runs per ``(lang, pmod(doc_id, k))``
+    — still deterministic, still valid fixed-budget shards, k-way
+    parallel inside the hot stratum; shard ids are then unique per
+    (lang, sub_stratum).
     """
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    w = Window.partitionBy("lang").orderBy("doc_id")
+    part_keys = ["lang"]
+    if sub_strata > 1:
+        docs = docs.withColumn(
+            "sub_stratum", F.pmod(F.col("doc_id"), F.lit(sub_strata)).cast("int")
+        )
+        part_keys.append("sub_stratum")
+    w = Window.partitionBy(*part_keys).orderBy("doc_id")
     cum_before = F.coalesce(
         F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
     )
     return docs.select(
         "doc_id",
+        *part_keys[1:],
         "lang",
         "n_chars",
         F.floor(cum_before / budget_chars).cast("long").alias("shard_id"),

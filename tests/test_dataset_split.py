@@ -60,6 +60,17 @@ def test_stratified_sample_is_exact_per_stratum(spark):
     assert got == {lang: math.ceil(n / 5) for lang, n in langs.items()}
 
 
+def test_sample_and_pack_plans_shuffle_exactly_once(spark):
+    """Both stratified ops need exactly ONE Exchange (hash by lang):
+    rank + count windows share the partitioning, and nothing upstream
+    or downstream may add another shuffle at any scale."""
+    from qfilter.corpus import pack_shards, stratified_sample
+
+    for df in (stratified_sample(spark, SF_DIR), pack_shards(spark, SF_DIR)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_pack_shards_fills_to_budget_deterministically(spark):
     from qfilter.corpus import pack_shards
 
@@ -88,6 +99,26 @@ def test_pack_shards_fills_to_budget_deterministically(spark):
         max_doc = max(r["n_chars"] for r in rs)
         for sid in ids[:-1]:
             assert shards[sid] <= 4000 + max_doc  # straddle bound
+
+
+def test_pack_shards_sub_strata_is_valid_parallel_packing(spark):
+    """sub_strata=4: same packing rule applied independently per
+    (lang, doc_id % 4) — recompute each sub-stratum single-node and
+    compare; budget semantics are unchanged inside each."""
+    from qfilter.corpus import pack_shards
+
+    rows = pack_shards(spark, SF_DIR, budget_chars=4000, sub_strata=4).collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault((r["lang"], r["sub_stratum"]), []).append(r)
+    assert len({k[1] for k in groups}) == 4
+    for (_lang, sub), rs in groups.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            assert r["doc_id"] % 4 == sub
+            assert r["offset_chars"] == cum and r["shard_id"] == cum // 4000
+            cum += r["n_chars"]
 
 
 def test_stratified_sample_is_a_deterministic_subset(spark):
