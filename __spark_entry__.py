@@ -1970,7 +1970,8 @@ def deregistered_checks() -> dict:
         "dataset_split": (corpus.dataset_split, """
             WITH h AS (
               SELECT doc_id, lang,
-                     ((doc_id % 2147483647) * 48271 % 2147483647)
+                     (((doc_id % 2147483647 + 2147483647) % 2147483647)
+                       * 48271 % 2147483647)
                        * 48271 % 2147483647 AS hh
               FROM documents
             )
@@ -1983,7 +1984,8 @@ def deregistered_checks() -> dict:
         "stratified_sample": (corpus.stratified_sample, """
             WITH h AS (
               SELECT doc_id, lang,
-                     ((doc_id % 2147483647) * 48271 % 2147483647)
+                     (((doc_id % 2147483647 + 2147483647) % 2147483647)
+                       * 48271 % 2147483647)
                        * 48271 % 2147483647 AS hh
               FROM documents
             ), r AS (

@@ -82,9 +82,6 @@ AUGMENT_SCHEMA = T.StructType(
     ]
 )
 
-_PARAM_COLS = ["flip", "crop_top", "crop_left", "crop_bottom", "crop_right", "brightness"]
-
-
 def _augment_iter(batches):
     cols = [f.name for f in AUGMENT_SCHEMA]
     for pdf in batches:

@@ -110,6 +110,20 @@ class Catalog:
         snaps = self.snapshots(table)
         return snaps[-1] if snaps else None
 
+    def _snapshot(self, table: str, snapshot: int | None = None) -> dict:
+        """Resolve a snapshot ONCE — every read-path entry point goes
+        through this so a concurrent commit can never split one logical
+        read across two different snapshots."""
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"table {table!r} has no snapshots")
+        if snapshot is None:
+            return snaps[-1]
+        for s in snaps:
+            if s["id"] == snapshot:
+                return s
+        raise ValueError(f"snapshot {snapshot} of {table!r} does not exist")
+
     def _new_data_dir(self, table: str, hint: str) -> str:
         # unique name: two concurrent writers must never share a data
         # dir even before either has committed a manifest
@@ -341,6 +355,14 @@ class Catalog:
         with open(path) as f:
             return json.load(f)
 
+    def _staged_dir_of(self, table: str, wap_id: str) -> str | None:
+        """Staged data dir, or None if the staged file vanished (a
+        concurrent publish/abort) — for callers that must not fail."""
+        try:
+            return self._staged(table, wap_id)["dir"]
+        except FileNotFoundError:
+            return None
+
     def staged_ids(self, table: str) -> list[str]:
         sdir = self._staged_dir(table)
         if not os.path.isdir(sdir):
@@ -356,13 +378,40 @@ class Catalog:
             return part
         return self.read(spark, table).unionByName(part, allowMissingColumns=True)
 
+    @staticmethod
+    def _merge_schema(base: dict | None, extra: dict | None) -> dict | None:
+        """Union of two schema JSONs by field name, base order first —
+        add-column evolution semantics for a publish that rebases over
+        appends which widened the schema since staging."""
+        if not base:
+            return extra
+        if not extra:
+            return base
+        names = {f["name"] for f in base["fields"]}
+        return {
+            **base,
+            "fields": base["fields"]
+            + [f for f in extra["fields"] if f["name"] not in names],
+        }
+
     def publish_staged(self, table: str, wap_id: str) -> int:
         """Commit a staged append into the table — pure metadata CAS
         over the already-written data dir (Iceberg's cherry-pick):
-        rebases over any appends that landed since staging."""
+        rebases over any appends (and their schema widenings) that
+        landed since staging.  Idempotent on ``wap_id``: a retry after
+        a crash between commit and staged-file cleanup finds the
+        already-published snapshot instead of committing the dir twice
+        (Iceberg dedups cherry-picks on wap.id for the same reason)."""
         staged = self._staged(table, wap_id)
         while True:
             snaps = self.snapshots(table)
+            for s in snaps:
+                if s.get("wap_id") == wap_id:
+                    try:
+                        os.remove(os.path.join(self._staged_dir(table), f"{wap_id}.json"))
+                    except FileNotFoundError:
+                        pass
+                    return s["id"]
             sid = (snaps[-1]["id"] + 1) if snaps else 0
             parent_dirs = snaps[-1]["dirs"] if snaps else []
             manifest = {
@@ -370,7 +419,9 @@ class Catalog:
                 "parent": snaps[-1]["id"] if snaps else None,
                 "dirs": parent_dirs + [staged["dir"]],
                 "partition_by": staged["partition_by"],
-                "schema": staged["schema"],
+                "schema": self._merge_schema(
+                    snaps[-1].get("schema") if snaps else None, staged["schema"]
+                ),
                 "operation": "append",
                 "wap_id": wap_id,
                 "stats": {
@@ -388,7 +439,10 @@ class Catalog:
                 break
             except CommitConflict:
                 continue
-        os.remove(os.path.join(self._staged_dir(table), f"{wap_id}.json"))
+        try:
+            os.remove(os.path.join(self._staged_dir(table), f"{wap_id}.json"))
+        except FileNotFoundError:
+            pass
         return out
 
     def abort_staged(self, table: str, wap_id: str) -> None:
@@ -440,11 +494,7 @@ class Catalog:
 
     # ------------------------------------------------------------- read
     def read(self, spark: SparkSession, table: str, snapshot: int | None = None) -> DataFrame:
-        snaps = self.snapshots(table)
-        if not snaps:
-            raise FileNotFoundError(f"table {table!r} has no snapshots")
-        snap = snaps[-1] if snapshot is None else next(s for s in snaps if s["id"] == snapshot)
-        return self._assemble(spark, snap, files_by_dir=None)
+        return self._assemble(spark, self._snapshot(table, snapshot), files_by_dir=None)
 
     def _assemble(
         self,
@@ -494,6 +544,8 @@ class Catalog:
             key = tuple(i for i, sp in enumerate(specs) if added < sp["id"])
             groups.setdefault(key, []).append(d)
 
+        # one keys frame per spec, shared across dir groups
+        spec_keys: dict[int, DataFrame] = {}
         out = None
         for key, dirs in groups.items():
             df = None
@@ -515,8 +567,11 @@ class Catalog:
             df = align(df)
             for i in key:
                 sp = specs[i]
-                keys = spark.read.parquet(sp["dir"]).select(*sp["cols"]).distinct()
-                df = df.join(keys, on=sp["cols"], how="left_anti")
+                if i not in spec_keys:
+                    spec_keys[i] = (
+                        spark.read.parquet(sp["dir"]).select(*sp["cols"]).distinct()
+                    )
+                df = df.join(spec_keys[i], on=sp["cols"], how="left_anti")
             out = df if out is None else out.unionByName(df)
         if out is None:  # empty table or fully pruned scan
             if schema is None:
@@ -533,16 +588,20 @@ class Catalog:
         manifest-recorded column bounds as JSON — so layout health
         (small-file count, clustering quality, skew) is auditable with
         plain SQL instead of a filesystem walk."""
-        snaps = self.snapshots(table)
-        if not snaps:
-            raise FileNotFoundError(f"table {table!r} has no snapshots")
-        snap = snaps[-1] if snapshot is None else next(
-            s for s in snaps if s["id"] == snapshot
-        )
+        snap = self._snapshot(table, snapshot)
         all_stats = snap.get("stats") or {}
         rows = []
         for d in snap["dirs"]:
-            for rel, bounds in (all_stats.get(d) or {}).items():
+            dir_stats = all_stats.get(d)
+            if dir_stats is None:
+                # legacy (pre-stats) manifest: enumerate, bounds unknown
+                dir_stats = {
+                    os.path.relpath(os.path.join(root, n), d): {}
+                    for root, _dirs, names in os.walk(d)
+                    for n in sorted(names)
+                    if n.endswith(".parquet")
+                }
+            for rel, bounds in dir_stats.items():
                 path = os.path.join(d, rel)
                 try:
                     size = os.path.getsize(path)
@@ -571,12 +630,11 @@ class Catalog:
         whose every file is pruned are absent.  No data file or footer
         is opened — this runs entirely on the committed manifest.
         """
-        snaps = self.snapshots(table)
-        if not snaps:
-            raise FileNotFoundError(f"table {table!r} has no snapshots")
-        snap = snaps[-1] if snapshot is None else next(
-            s for s in snaps if s["id"] == snapshot
-        )
+        return self._plan_scan_snap(self._snapshot(table, snapshot), where)
+
+    def _plan_scan_snap(
+        self, snap: dict, where: list[tuple[str, str, object]] | None
+    ) -> tuple[dict[str, list[str]], int, int]:
         all_stats = snap.get("stats") or {}
         plan: dict[str, list[str]] = {}
         n_kept = n_total = 0
@@ -622,13 +680,10 @@ class Catalog:
         """
         from pyspark.sql import functions as F
 
-        snaps = self.snapshots(table)
-        if not snaps:
-            raise FileNotFoundError(f"table {table!r} has no snapshots")
-        snap = snaps[-1] if snapshot is None else next(
-            s for s in snaps if s["id"] == snapshot
-        )
-        plan, _kept, _total = self.plan_scan(table, where, snapshot)
+        # one snapshot resolution for both planning and assembly: a
+        # concurrent commit can't split this read across two states
+        snap = self._snapshot(table, snapshot)
+        plan, _kept, _total = self._plan_scan_snap(snap, where)
         df = self._assemble(spark, snap, files_by_dir=plan)
         for col, op, val in where or []:
             lit = F.lit(val)
@@ -940,9 +995,11 @@ class Catalog:
             for s in retained
             for sp in s.get("delete_specs", [])
         } | {
-            # staged-but-unpublished WAP commits are live, not orphans
-            os.path.normpath(self._staged(table, w)["dir"])
-            for w in self.staged_ids(table)
+            # staged-but-unpublished WAP commits are live, not orphans;
+            # one vanishing mid-scan (concurrent publish/abort) is fine
+            os.path.normpath(d)
+            for d in (self._staged_dir_of(table, w) for w in self.staged_ids(table))
+            if d is not None
         }
         deleted: list[str] = []
         data_root = os.path.join(self._tdir(table), "data")

@@ -111,7 +111,7 @@ def test_expire_snapshots_gc(spark, cat):
     assert _hash(cat.read(spark, "e")) == before
     assert len(cat.snapshots("e")) == 1
     # expired snapshots are gone — time travel to them now fails
-    with pytest.raises(StopIteration):
+    with pytest.raises(ValueError, match="does not exist"):
         cat.read(spark, "e", snapshot=0)
 
 

@@ -85,6 +85,36 @@ def test_gc_never_reaps_staged_dirs(spark, cat):
     assert cat.read(spark, "t").count() == 40
 
 
+def test_publish_retry_after_crash_is_idempotent(spark, cat):
+    """Crash window: manifest committed but staged file not yet
+    removed.  A retry must find the published wap_id and no-op instead
+    of appending the dir twice."""
+    import shutil as sh
+
+    cat.append("t", _mk(spark, 0, 10))
+    wap = cat.append_staged("t", _mk(spark, 10, 20))
+    staged_file = os.path.join(cat.warehouse, "t", "staged", f"{wap}.json")
+    sh.copy(staged_file, staged_file + ".crash")
+    sid = cat.publish_staged("t", wap)
+    sh.copy(staged_file + ".crash", staged_file)  # simulate the crash window
+    assert cat.publish_staged("t", wap) == sid    # retry: same snapshot
+    assert cat.read(spark, "t").count() == 20     # no duplicated rows
+    assert cat.staged_ids("t") == []
+
+
+def test_publish_merges_schema_widened_since_staging(spark, cat):
+    cat.append("t", _mk(spark, 0, 10))
+    wap = cat.append_staged("t", _mk(spark, 10, 20))
+    # concurrent append widens the schema while the audit runs
+    cat.append("t", _mk(spark, 20, 30).withColumn("score", F.col("id") * 2))
+    cat.publish_staged("t", wap)
+    df = cat.read(spark, "t")
+    assert "score" in df.columns
+    # the widened column's data survives the publish
+    assert df.filter("score is not null").count() == 10
+    assert df.count() == 30
+
+
 def test_stage_on_empty_table_publishes_as_first_snapshot(spark, cat):
     wap = cat.append_staged("t", _mk(spark, 0, 5))
     assert cat.read_staged(spark, "t", wap).count() == 5
