@@ -955,6 +955,59 @@ class Catalog:
         }
         return self._commit_manifest(table, manifest)
 
+    # -------------------------------------------------------------- tags
+    #
+    # Iceberg tags: immutable named refs pinning a snapshot.  The
+    # training-reproducibility primitive — "model X trained on
+    # documents@v1" must stay resolvable and readable for as long as
+    # the tag exists, so snapshot expiry retains tagged snapshots (and
+    # their dirs) regardless of keep_last.
+
+    def _refs_dir(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "refs")
+
+    def tag(self, table: str, name: str, snapshot: int | None = None) -> int:
+        """Pin ``name`` to a snapshot (default: current).  Tags are
+        immutable — re-tagging an existing name raises; drop first."""
+        sid = self._snapshot(table, snapshot)["id"]
+        rdir = self._refs_dir(table)
+        os.makedirs(rdir, exist_ok=True)
+        tmp = os.path.join(rdir, f".{name}.{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"snapshot_id": sid}, f)
+        try:
+            os.link(tmp, os.path.join(rdir, f"{name}.json"))  # CAS create
+        except FileExistsError:
+            raise ValueError(f"tag {name!r} already exists on {table!r}") from None
+        finally:
+            os.unlink(tmp)
+        return sid
+
+    def tags(self, table: str) -> dict[str, int]:
+        rdir = self._refs_dir(table)
+        if not os.path.isdir(rdir):
+            return {}
+        out = {}
+        for n in sorted(os.listdir(rdir)):
+            if n.endswith(".json"):
+                with open(os.path.join(rdir, n)) as f:
+                    out[n[:-5]] = json.load(f)["snapshot_id"]
+        return out
+
+    def drop_tag(self, table: str, name: str) -> None:
+        try:
+            os.remove(os.path.join(self._refs_dir(table), f"{name}.json"))
+        except FileNotFoundError:
+            raise ValueError(f"no tag {name!r} on {table!r}") from None
+
+    def read_tag(self, spark: SparkSession, table: str, name: str) -> DataFrame:
+        """Read the exact table state a tag pins, forever (until the
+        tag is dropped) — later appends/deletes/compactions invisible."""
+        tags = self.tags(table)
+        if name not in tags:
+            raise ValueError(f"no tag {name!r} on {table!r}")
+        return self.read(spark, table, snapshot=tags[name])
+
     def rollback(self, table: str, snapshot: int) -> int:
         """Roll the table back to an earlier snapshot (Iceberg's
         ``rollback_to_snapshot``): commits a NEW snapshot that
@@ -989,7 +1042,15 @@ class Catalog:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         snaps = self.snapshots(table)
-        retained, expired = snaps[-keep_last:], snaps[:-keep_last]
+        # tagged snapshots are pinned: a tag is a promise that this
+        # exact dataset version stays readable (Iceberg retains any
+        # snapshot a ref points at, regardless of age)
+        tagged = set(self.tags(table).values())
+        retained = [
+            s for i, s in enumerate(snaps)
+            if i >= len(snaps) - keep_last or s["id"] in tagged
+        ]
+        expired = [s for s in snaps if s not in retained]
         keep_dirs = {os.path.normpath(d) for s in retained for d in s["dirs"]} | {
             os.path.normpath(sp["dir"])
             for s in retained

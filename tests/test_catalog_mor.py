@@ -141,6 +141,28 @@ def test_rollback_restores_state_without_data_movement(spark, cat):
         cat.rollback("t", 99)
 
 
+def test_tags_pin_dataset_versions_through_expiry(spark, cat):
+    cat.append("t", _mk(spark, 0, 50))
+    v1 = _hash(cat.read(spark, "t"))
+    cat.tag("t", "train-v1")
+    cat.append("t", _mk(spark, 50, 100))
+    cat.compact(spark, "t", target_file_bytes=1 << 30)
+    cat.expire_snapshots("t", keep_last=1)
+    # the tagged snapshot survived expiry: exact v1 bytes still read
+    assert _hash(cat.read_tag(spark, "t", "train-v1")) == v1
+    assert cat.read(spark, "t").count() == 100
+    assert cat.tags("t") == {"train-v1": 0}
+    with pytest.raises(ValueError, match="already exists"):
+        cat.tag("t", "train-v1")
+    # dropping the tag releases the pin; the next expiry reclaims it
+    cat.drop_tag("t", "train-v1")
+    cat.expire_snapshots("t", keep_last=1)
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.read(spark, "t", snapshot=0)
+    with pytest.raises(ValueError, match="no tag"):
+        cat.read_tag(spark, "t", "train-v1")
+
+
 def test_mor_delete_conflicts_like_compact(spark, cat):
     cat.append("t", _mk(spark, 0, 50))
     cur = cat.current_snapshot("t")
