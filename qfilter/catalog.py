@@ -25,9 +25,12 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = ["Catalog", "CommitConflict", "zorder_expr"]
 
@@ -452,10 +455,36 @@ class Catalog:
         shutil.rmtree(staged["dir"], ignore_errors=True)
         os.remove(os.path.join(self._staged_dir(table), f"{wap_id}.json"))
 
+    def _txn_file(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "txns.json")
+
+    def _persisted_txns(self, table: str) -> set[str]:
+        try:
+            with open(self._txn_file(table)) as f:
+                return set(json.load(f))
+        except (FileNotFoundError, json.JSONDecodeError):
+            return set()
+
+    def _persist_txns(self, table: str, txns: set[str]) -> None:
+        """Durably record txn ids whose carrier snapshots are being
+        expired: ``expire_snapshots`` calls this BEFORE removing the
+        manifests, so ``append_once`` replays still dedupe.  Atomic
+        write (tmp + rename) merged with existing content."""
+        merged = sorted(self._persisted_txns(table) | set(txns))
+        tmp = f"{self._txn_file(table)}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, self._txn_file(table))
+
     def _txn_snapshot(self, table: str, txn_id: str) -> int | None:
         for s in self.snapshots(table):
             if s.get("txn_id") == txn_id or txn_id in s.get("txn_ids", []):
                 return s["id"]
+        if txn_id in self._persisted_txns(table):
+            # carrier snapshot was expired; the ref file preserves the
+            # exactly-once promise.  -1 = "committed, snapshot unknown"
+            # (append_once only needs a non-None sentinel to dedupe)
+            return -1
         return None
 
     @staticmethod
@@ -557,8 +586,19 @@ class Catalog:
                         # basePath keeps hive-partition columns visible
                         # even though we hand Spark leaf files
                         part = spark.read.option("basePath", d).parquet(*files_by_dir[d])
-                except Exception:
-                    if schema is None:
+                except AnalysisException as e:
+                    # ONLY the documented legitimately-empty cases read
+                    # as empty: a dir holding zero parquet files (0-row
+                    # write → schema inference fails) or a missing path.
+                    # Corrupt files, permission errors, and wrongly-GC'd
+                    # dirs must surface, not read as silently empty.
+                    cond = getattr(e, "getErrorClass", lambda: None)() or ""
+                    legit = cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA") or any(
+                        t in str(e)
+                        for t in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA",
+                                  "Path does not exist", "Unable to infer schema")
+                    )
+                    if not legit or schema is None:
                         raise
                     part = spark.createDataFrame([], schema)
                 # allowMissingColumns = add-column schema evolution:
@@ -859,12 +899,37 @@ class Catalog:
 
         The anti-join side is key-only, so with a small source Spark
         broadcasts it and the rewrite is one shuffle-free scan at any
-        table size."""
+        table size.
+
+        Source must be unique on ``on`` (SQL MERGE raises when a target
+        row matches multiple source rows — we enforce the equivalent
+        up front with one agg job over the small side) and must not
+        carry columns absent from the target (they would otherwise be
+        silently dropped by the target-schema projection)."""
         snaps = self.snapshots(table)
         if not snaps:
             raise FileNotFoundError(f"table {table!r} has no snapshots")
         cur = snaps[-1]
         target = self.read(spark, table)
+        extra = set(source.columns) - set(target.columns)
+        if extra:
+            raise ValueError(
+                f"merge source has columns absent from target {table!r}: "
+                f"{sorted(extra)} — add them via schema evolution first"
+            )
+        missing = set(target.columns) - set(source.columns)
+        if missing:
+            raise ValueError(
+                f"merge source is missing target columns: {sorted(missing)}"
+            )
+        dup = (
+            source.groupBy(*on).count().where(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                f"merge source has duplicate rows on key {on} — SQL MERGE "
+                "semantics forbid multiple matches per target row"
+            )
         merged = target.join(source.select(*on).distinct(), on=on, how="left_anti")
         merged = merged.unionByName(source.select(*target.columns))
         return self._commit_rewrite(table, cur, merged, "overwrite")
@@ -1031,10 +1096,25 @@ class Catalog:
         }
         return self._commit_manifest(table, manifest)
 
-    def expire_snapshots(self, table: str, keep_last: int = 1) -> list[str]:
-        """Drop all but the last ``keep_last`` snapshots and delete every
-        data dir they exclusively referenced — including orphan dirs a
-        killed writer left behind (written but never committed).
+    def expire_snapshots(
+        self, table: str, keep_last: int = 1, orphan_grace_s: float = 86400.0
+    ) -> list[str]:
+        """Drop all but the last ``keep_last`` snapshots and delete the
+        data dirs they exclusively referenced, plus orphan dirs a killed
+        writer left behind (written but never committed) — but an orphan
+        is only GC'd once it is older than ``orphan_grace_s`` seconds,
+        because data is written BEFORE the manifest CAS: a young
+        unreferenced dir may belong to an in-flight concurrent
+        append/compact that is about to commit (same reasoning as
+        Iceberg's ``remove_orphan_files`` ``older_than`` threshold).
+        Dirs referenced by an *expired* snapshot carry provenance and
+        are deleted immediately regardless of age.
+
+        The snapshot list is re-read after the keep-set is built, so a
+        commit that landed concurrently with this call never has its
+        dirs deleted.  Txn ids carried only by expired snapshots are
+        persisted to a ref file (consulted by ``append_once``) so
+        exactly-once dedup survives expiry.
 
         Returns the deleted dirs.  Never touches a dir any retained
         snapshot references.
@@ -1051,25 +1131,57 @@ class Catalog:
             if i >= len(snaps) - keep_last or s["id"] in tagged
         ]
         expired = [s for s in snaps if s not in retained]
-        keep_dirs = {os.path.normpath(d) for s in retained for d in s["dirs"]} | {
-            os.path.normpath(sp["dir"])
-            for s in retained
-            for sp in s.get("delete_specs", [])
-        } | {
+        # exactly-once bookkeeping: txn ids that would vanish with the
+        # expired manifests are persisted to the table's txn ref file
+        # BEFORE any manifest is removed, so a replayed foreachBatch
+        # micro-batch still dedupes after an expire with no compaction
+        # in between
+        kept_txns = set(self._carried_txns(retained))
+        lost_txns = set(self._carried_txns(expired)) - kept_txns
+        if lost_txns:
+            self._persist_txns(table, lost_txns)
+
+        def _snap_dirs(ss: list[dict]) -> set[str]:
+            return {os.path.normpath(d) for s in ss for d in s["dirs"]} | {
+                os.path.normpath(sp["dir"])
+                for s in ss
+                for sp in s.get("delete_specs", [])
+            }
+
+        keep_dirs = _snap_dirs(retained) | {
             # staged-but-unpublished WAP commits are live, not orphans;
             # one vanishing mid-scan (concurrent publish/abort) is fine
             os.path.normpath(d)
             for d in (self._staged_dir_of(table, w) for w in self.staged_ids(table))
             if d is not None
         }
+        # re-read AFTER building the keep set: a snapshot committed
+        # since the first read (concurrent append/compact that won its
+        # CAS while we were planning) keeps every dir it references
+        seen_ids = {s["id"] for s in snaps}
+        keep_dirs |= _snap_dirs(
+            [s for s in self.snapshots(table) if s["id"] not in seen_ids]
+        )
+        expired_dirs = _snap_dirs(expired)
+        now = time.time()
         deleted: list[str] = []
         data_root = os.path.join(self._tdir(table), "data")
         if os.path.isdir(data_root):
             for name in sorted(os.listdir(data_root)):
                 path = os.path.normpath(os.path.join(data_root, name))
-                if path not in keep_dirs:
-                    shutil.rmtree(path, ignore_errors=True)
-                    deleted.append(path)
+                if path in keep_dirs:
+                    continue
+                if path not in expired_dirs:
+                    # true orphan — no snapshot we ever saw references
+                    # it; respect the grace window for in-flight writers
+                    try:
+                        age = now - os.path.getmtime(path)
+                    except OSError:
+                        continue  # vanished (concurrent GC / commit race)
+                    if age < orphan_grace_s:
+                        continue
+                shutil.rmtree(path, ignore_errors=True)
+                deleted.append(path)
         for s in expired:
             try:
                 os.remove(os.path.join(self._snap_dir(table), f"{s['id']}.json"))

@@ -23,6 +23,7 @@ north-rule extensions (no counterpart in the reference).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -331,7 +332,10 @@ def winnow_fingerprints(
         f" (acc, p) -> if(named_struct('h', hs[p], 'np', -p) < acc,"
         f" named_struct('h', hs[p], 'np', -p), acc))))"
     )
-    with_hs = norm.withColumn("hs", F.expr(hs)).persist()
+    # DISK_ONLY: the gram-hash arrays are ~8 bytes per text char —
+    # larger than the corpus itself; any memory tier would thrash at
+    # scale, and the persist only exists to break CollapseProject
+    with_hs = norm.withColumn("hs", F.expr(hs)).persist(StorageLevel.DISK_ONLY)
     return (
         with_hs.withColumn("sel", F.expr(sel))
         .select("doc_id", F.explode("sel").alias("s"))
@@ -419,7 +423,11 @@ def trigram_jaccard_pairs(
         .filter(F.col("df") <= df_cap)
         .select("sh")
     )
-    tri = tri_all.join(keep_sh, "sh").cache()
+    # corpus-sized intermediate: DISK_ONLY, not memory cache — at
+    # 100 TB the kept-shingle set dwarfs executor memory and a MEMORY
+    # persist would evict/thrash; local parquet-speed disk re-reads
+    # are cheaper than recomputing the df-cap join twice
+    tri = tri_all.join(keep_sh, "sh").persist(StorageLevel.DISK_ONLY)
     sizes = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = tri.alias("a")
     b = tri.alias("b")
@@ -503,7 +511,10 @@ def minhash_lsh_dup_pairs(
         F.min(F.pmod(F.lit(a[i]) * F.col("x") + F.lit(b[i]), F.lit(p))).alias(f"mh{i}")
         for i in range(n_perm)
     ]
-    sig = hashed.groupBy("doc_id").agg(*aggs).cache()
+    # one signature row per doc (n_perm longs) but still corpus-
+    # cardinality: DISK_ONLY so the band fan-out re-reads from local
+    # disk instead of pinning executor memory at 100 TB
+    sig = hashed.groupBy("doc_id").agg(*aggs).persist(StorageLevel.DISK_ONLY)
 
     r = n_perm // bands
     banded = None

@@ -134,3 +134,81 @@ def test_merge_then_expire_gc(spark, cat):
     deleted = cat.expire_snapshots("e", keep_last=1)
     assert len(deleted) == 1  # the pre-merge append dir
     assert cat.read(spark, "e").count() == before
+
+
+def test_expire_never_deletes_concurrently_committed_dirs(spark, cat):
+    """The GC race ADVICE flagged: a writer commits BETWEEN the
+    expirer's snapshot-list read and its deletion scan.  The re-read
+    (not the grace window — forced off here) must protect the new dir."""
+    cat.append("t", _mk(spark, 0, 10))
+    cat.append("t", _mk(spark, 10, 20))
+
+    orig = cat.snapshots
+    state = {"fired": False}
+
+    def racy_snapshots(table):
+        out = orig(table)
+        if not state["fired"]:
+            state["fired"] = True
+            # concurrent writer wins its CAS while the expirer plans
+            Catalog(cat.warehouse).append("t", _mk(spark, 20, 30, tag="late"))
+        return out
+
+    cat.snapshots = racy_snapshots
+    try:
+        cat.expire_snapshots("t", keep_last=1, orphan_grace_s=0.0)
+    finally:
+        cat.snapshots = orig
+    # the concurrent append's rows survive the GC
+    assert cat.read(spark, "t").count() == 30
+
+
+def test_expire_spares_fresh_orphan_by_default(spark, cat, tmp_path):
+    """An unreferenced dir younger than the grace window is an
+    in-flight writer's pre-commit data, not garbage."""
+    import os
+
+    cat.append("t", _mk(spark, 0, 10))
+    # simulate a writer that has written data but not yet committed
+    pending = cat._new_data_dir("t", "w")
+    _mk(spark, 10, 20).write.parquet(pending)
+    assert cat.expire_snapshots("t", keep_last=1) == []
+    assert os.path.isdir(pending)
+    # ... and is GC'd once past the grace window
+    old = __import__("time").time() - 7 * 86400
+    os.utime(pending, (old, old))
+    deleted = cat.expire_snapshots("t", keep_last=1)
+    assert deleted == [os.path.normpath(pending)]
+
+
+def test_merge_rejects_duplicate_source_keys(spark, cat):
+    cat.append("t", _mk(spark, 0, 10))
+    dup_src = _mk(spark, 0, 3).unionByName(_mk(spark, 2, 3, tag="twin"))
+    with pytest.raises(ValueError, match="duplicate"):
+        cat.merge(spark, "t", dup_src, on=["id"])
+
+
+def test_merge_rejects_schema_drift(spark, cat):
+    cat.append("t", _mk(spark, 0, 10))
+    wide = _mk(spark, 0, 3).withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="absent from target"):
+        cat.merge(spark, "t", wide, on=["id"])
+    narrow = _mk(spark, 0, 3).drop("tag")
+    with pytest.raises(ValueError, match="missing target columns"):
+        cat.merge(spark, "t", narrow, on=["id"])
+
+
+def test_corrupt_data_file_surfaces_not_silently_empty(spark, cat):
+    """_assemble must not mask a corrupt file as an empty table (the
+    old bare-except did)."""
+    import glob
+    import os
+
+    cat.append("t", _mk(spark, 0, 10))
+    d = cat.current_snapshot("t")["dirs"][0]
+    for f in glob.glob(os.path.join(d, "*.parquet")):
+        with open(f, "wb") as fh:
+            fh.write(b"not a parquet file")
+    with pytest.raises(Exception) as ei:
+        cat.read(spark, "t").collect()
+    assert "PATH_NOT_FOUND" not in str(ei.value)

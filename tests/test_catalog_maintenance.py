@@ -92,8 +92,11 @@ def test_killed_compactor_leaves_table_intact(spark, cat, monkeypatch):
     # data dir was written but never committed: readers see no change
     assert len(cat.snapshots("k")) == n_snaps
     assert _hash(cat.read(spark, "k")) == before
-    # ... and expiry GCs the orphan dir the killed compactor left
-    deleted = cat.expire_snapshots("k", keep_last=1)
+    # ... and expiry GCs the orphan dir the killed compactor left —
+    # but only past the orphan grace window (a fresh unreferenced dir
+    # could be an in-flight writer's pre-commit data)
+    assert cat.expire_snapshots("k", keep_last=1) == []
+    deleted = cat.expire_snapshots("k", keep_last=1, orphan_grace_s=0.0)
     assert len(deleted) == 1
     assert _hash(cat.read(spark, "k")) == before
 

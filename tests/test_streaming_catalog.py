@@ -93,3 +93,27 @@ def test_txn_survives_compaction_and_expiry(spark, tmp_path):
     cat.append_once("t", df, txn_id="ck#0")
     assert cat.read(spark, "t").count() == 20
     assert len(cat.snapshots("t")) == 1
+
+
+def test_txn_survives_expiry_without_compaction(spark, tmp_path):
+    """ADVICE medium: expiring snapshots WITHOUT a compaction in
+    between used to drop the expired appends' txn ids (only replace/
+    overwrite manifests carried them) — a replayed micro-batch then
+    double-committed.  The txn ref file closes that window."""
+    cat = Catalog(str(tmp_path / "wh"))
+    df = spark.range(10).select(F.col("id"), F.lit("x").alias("tag"))
+
+    cat.append_once("t", df, txn_id="ck#0")
+    cat.append_once(
+        "t",
+        spark.range(10, 20).select(F.col("id"), F.lit("y").alias("tag")),
+        txn_id="ck#1",
+    )
+    cat.expire_snapshots("t", keep_last=1)  # no compact first
+    assert len(cat.snapshots("t")) == 1
+
+    # replay of both micro-batches after the crash window: no-ops
+    cat.append_once("t", df, txn_id="ck#0")
+    cat.append_once("t", df, txn_id="ck#1")
+    assert cat.read(spark, "t").count() == 20
+    assert len(cat.snapshots("t")) == 1
