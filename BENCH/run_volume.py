@@ -27,7 +27,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CHILD = r"""
-import json, os, shutil, sys, tempfile, time
+import json, os, shutil, sys, tempfile, time, urllib.request
 repo, cpus, mult, runs = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
 for p in (repo, os.path.join(repo, "tools")):
     sys.path.insert(0, p)
@@ -39,10 +39,37 @@ from pyspark.sql import functions as F
 
 # multi-KB binary cells: the default 4096-row columnar read batch
 # times 32 concurrent tasks overflows the heap at 4x volume; batch
-# by ~256 rows so scan memory is bounded by bytes, not row count
+# by ~256 rows so scan memory is bounded by bytes, not row count.
+# UI on: the executors REST endpoint is the per-run GC/heap probe
+# (VERDICT r4 "what's wrong" #3 — a wall outlier must be attributable
+# to GC/memory pressure or to co-tenant noise, not left ambiguous).
 spark = get_spark(app=f"vol{mult}x", master=f"local[{cpus}]",
-                  extra={"spark.sql.parquet.columnarReaderBatchSize": "256"})
+                  extra={"spark.sql.parquet.columnarReaderBatchSize": "256",
+                         "spark.ui.enabled": "true"})
 spark.sparkContext.setLogLevel("ERROR")
+
+def jvm_probe():
+    # summed GC ms + peak JVM heap across executors (local mode: the
+    # driver is the executor, id "driver")
+    url = spark.sparkContext.uiWebUrl
+    if not url:
+        return None
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{app}/executors", timeout=10
+        ) as r:
+            exs = json.loads(r.read())
+    except Exception:
+        return None
+    return {
+        "gc_ms": sum(int(e.get("totalGCTime") or 0) for e in exs),
+        "peak_heap": max(
+            int((e.get("peakMemoryMetrics") or {}).get("JVMHeapMemory") or 0)
+            for e in exs
+        ),
+    }
+
 tdir = ensure_fixtures("bench")
 base = spark.read.parquet(os.path.join(tdir, "images.parquet"))
 parts = [
@@ -54,9 +81,10 @@ for p in parts[1:]:
     df = df.unionByName(p)
 images = df.repartition(cpus * 3 * mult, "image_id").persist()
 n = images.count()
-walls = []
+walls, gc_ms, peak_heap = [], [], []
 for r in range(runs + 1):  # first run = warm-up, discarded
     sink = tempfile.mkdtemp(prefix=f"qfv{mult}_")
+    before = jvm_probe()
     t0 = time.time()
     labeled = with_labels(with_all_features(images))
     labeled.select(
@@ -64,12 +92,19 @@ for r in range(runs + 1):  # first run = warm-up, discarded
         "caption_scrubbed", "pii_hits", "tox_hits", "phash64",
     ).write.mode("overwrite").parquet(os.path.join(sink, "labels"))
     wall = time.time() - t0
+    after = jvm_probe()
     shutil.rmtree(sink, ignore_errors=True)
     if r > 0:
         walls.append(wall)
-walls.sort()
-print(json.dumps({"mult": mult, "rows": n, "walls": walls,
-                  "median": walls[len(walls) // 2]}))
+        if before and after:
+            gc_ms.append(after["gc_ms"] - before["gc_ms"])
+            peak_heap.append(after["peak_heap"])
+order = sorted(range(len(walls)), key=lambda i: walls[i])
+print(json.dumps({"mult": mult, "rows": n,
+                  "walls": sorted(walls),
+                  "gc_ms": [gc_ms[i] for i in order] if len(gc_ms) == len(walls) else gc_ms,
+                  "peak_heap": [peak_heap[i] for i in order] if len(peak_heap) == len(walls) else peak_heap,
+                  "median": sorted(walls)[len(walls) // 2]}))
 spark.stop()
 """
 
@@ -79,9 +114,9 @@ def run_level(cpus: int, mult: int, runs: int) -> dict:
     if sys.platform == "linux" and shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     env = dict(os.environ)
-    # 4x volume caches ~4x the rows; size the heap to the data like a
-    # real deployment would (the box has 128 GiB)
-    env.setdefault("QFILTER_DRIVER_MEM", "32g")
+    # the child caches mult x the bench rows; size the heap to the
+    # data like a real deployment would (the box has 128 GiB)
+    env.setdefault("QFILTER_DRIVER_MEM", "64g" if mult > 4 else "32g")
     out = subprocess.run(cmd, capture_output=True, text=True, env=env)
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])

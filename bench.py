@@ -312,20 +312,33 @@ def main() -> None:
     timings, walls, metrics, n_images, keep_f1 = run_suite(spark, SF_DIR, BENCH_TIER)
     spark.stop()
 
-    # 4x-volume headline in an isolated child (own heap sized to the
-    # data; the main session's cached 1x rows would skew it)
-    vol4 = None
-    if os.environ.get("QFILTER_BENCH_4X", "1") != "0":
-        sys.path.insert(0, os.path.join(REPO, "BENCH"))
-        from run_volume import run_level
+    # 4x- and 10x-volume headlines in isolated children (own heap
+    # sized to the data; the main session's cached 1x rows would skew
+    # them).  Each child reports per-run GC ms + peak JVM heap so a
+    # wall outlier is attributable (memory pressure vs co-tenant
+    # noise) instead of ambiguous — VERDICT r4 ask #4.  The 10x tier
+    # (1.2M rows) runs the e2e job well clear of the shared-VM noise
+    # floor the 120k-row run sits near — VERDICT r4 ask #6.
+    vols: dict[str, dict] = {}
+    sys.path.insert(0, os.path.join(REPO, "BENCH"))
+    from run_volume import run_level
 
+    for mult, flag in ((4, "QFILTER_BENCH_4X"), (10, "QFILTER_BENCH_10X")):
+        if os.environ.get(flag, "1") == "0":
+            continue
         try:
-            vol4 = run_level(CPUS, 4, RUNS)
+            vols[f"{mult}x"] = run_level(CPUS, mult, RUNS)
         except SystemExit as e:
-            sys.stderr.write(f"qfilter_e2e_4x skipped: {e}\n")
-    if vol4 is not None:
-        timings["qfilter_e2e_4x"] = round(vol4["median"], 3)
-        walls["qfilter_e2e_4x"] = [round(w, 3) for w in vol4["walls"]]
+            sys.stderr.write(f"qfilter_e2e_{mult}x skipped: {e}\n")
+    for tag, vol in vols.items():
+        timings[f"qfilter_e2e_{tag}"] = round(vol["median"], 3)
+        walls[f"qfilter_e2e_{tag}"] = [round(w, 3) for w in vol["walls"]]
+        metrics[f"qfilter_e2e_{tag}"] = {
+            "gc_ms_per_run": vol.get("gc_ms"),
+            "peak_heap_per_run": vol.get("peak_heap"),
+        }
+    vol4 = vols.get("4x")
+    vol10 = vols.get("10x")
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -344,6 +357,9 @@ def main() -> None:
     if vol4 is not None:
         out["images_4x"] = vol4["rows"]
         out["images_per_sec_4x"] = round(vol4["rows"] / vol4["median"], 1)
+    if vol10 is not None:
+        out["images_10x"] = vol10["rows"]
+        out["images_per_sec_10x"] = round(vol10["rows"] / vol10["median"], 1)
     # full per-run walls + executor metrics -> sidecar, NOT stdout:
     # the driver records only a bounded tail of stdout and the r03
     # headline outgrew it (VERDICT r3 "What's wrong" #3)
