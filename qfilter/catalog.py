@@ -76,6 +76,13 @@ def _keep_file(stats: dict | None, col: str, op: str, val) -> bool:
     raise ValueError(f"unsupported scan op {op!r}")
 
 
+# row-address helper columns for position deletes (Iceberg v2's
+# (file_path, pos) delete files); double-underscore-prefixed so they
+# can never collide with user data columns
+_FILE_COL = "__qf_file"
+_POS_COL = "__qf_pos"
+
+
 class CommitConflict(Exception):
     """Another writer committed the snapshot id first (optimistic
     concurrency, Iceberg's CommitFailedException).  ``append`` rebases
@@ -543,12 +550,25 @@ class Catalog:
         are grouped by their applicable spec set, each group gets one
         left-anti join per spec — with a small delete file Spark
         broadcasts it and the mask costs one shuffle-free scan.
+
+        Position deletes (Iceberg v2's other delete flavor) address
+        exact (file, row-ordinal) pairs via the parquet ``_metadata``
+        columns; they are scoped by construction (a later-added file
+        has a different path) and are masked with ONE broadcast
+        anti-join over the union of pending position-delete files.
         """
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(snap["schema"]) if snap.get("schema") else None
         specs = snap.get("delete_specs") or []
+        # "kind" absent = equality (legacy manifests predate position
+        # deletes)
+        eq_idx = [
+            i for i, sp in enumerate(specs)
+            if sp.get("kind", "equality") == "equality"
+        ]
+        pos_specs = [sp for sp in specs if sp.get("kind") == "position"]
         dir_added = snap.get("dir_added") or {}
 
         def align(df):
@@ -559,9 +579,11 @@ class Catalog:
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in schema.fields
             ]
+            if pos_specs and _FILE_COL in df.columns:
+                cols += [F.col(_FILE_COL), F.col(_POS_COL)]
             return df.select(*cols)
 
-        # group dirs by which delete specs apply to them
+        # group dirs by which equality delete specs apply to them
         groups: dict[tuple[int, ...], list[str]] = {}
         for d in snap["dirs"]:
             if files_by_dir is not None and not files_by_dir.get(d):
@@ -570,7 +592,7 @@ class Catalog:
             # legacy manifests predate MOR deletes, so specs only ever
             # exist alongside complete dir_added bookkeeping
             added = dir_added.get(d, 0)
-            key = tuple(i for i, sp in enumerate(specs) if added < sp["id"])
+            key = tuple(i for i in eq_idx if added < specs[i]["id"])
             groups.setdefault(key, []).append(d)
 
         # one keys frame per spec, shared across dir groups
@@ -601,6 +623,19 @@ class Catalog:
                     if not legit or schema is None:
                         raise
                     part = spark.createDataFrame([], schema)
+                    if pos_specs:
+                        part = part.withColumns({
+                            _FILE_COL: F.lit(None).cast("string"),
+                            _POS_COL: F.lit(None).cast("long"),
+                        })
+                else:
+                    if pos_specs:
+                        # materialize the file/ordinal address per row
+                        # BEFORE any union — _metadata is per-scan
+                        part = part.withColumns({
+                            _FILE_COL: F.col("_metadata.file_path"),
+                            _POS_COL: F.col("_metadata.row_index"),
+                        })
                 # allowMissingColumns = add-column schema evolution:
                 # dirs written before a column existed read as null
                 df = part if df is None else df.unionByName(part, allowMissingColumns=True)
@@ -616,7 +651,24 @@ class Catalog:
         if out is None:  # empty table or fully pruned scan
             if schema is None:
                 raise FileNotFoundError("snapshot has no schema to read")
-            out = align(spark.createDataFrame([], schema))
+            return align(spark.createDataFrame([], schema))
+        if pos_specs and _FILE_COL in out.columns:
+            dels = None
+            for sp in pos_specs:
+                k = spark.read.parquet(sp["dir"]).select("file_path", "pos")
+                dels = k if dels is None else dels.unionByName(k)
+            dels = dels.select(
+                F.col("file_path").alias("__qf_del_file"),
+                F.col("pos").alias("__qf_del_pos"),
+            ).distinct()
+            # delete files are KB-scale by design: broadcast, one
+            # shuffle-free masked scan at any table size
+            out = out.join(
+                F.broadcast(dels),
+                (F.col(_FILE_COL) == F.col("__qf_del_file"))
+                & (F.col(_POS_COL) == F.col("__qf_del_pos")),
+                "left_anti",
+            ).drop(_FILE_COL, _POS_COL)
         return out
 
     def exists(self, table: str) -> bool:
@@ -911,13 +963,26 @@ class Catalog:
             raise FileNotFoundError(f"table {table!r} has no snapshots")
         cur = snaps[-1]
         target = self.read(spark, table)
-        extra = set(source.columns) - set(target.columns)
+        self._validate_merge_source(source, target.columns, on, table)
+        merged = target.join(source.select(*on).distinct(), on=on, how="left_anti")
+        merged = merged.unionByName(source.select(*target.columns))
+        return self._commit_rewrite(table, cur, merged, "overwrite")
+
+    @staticmethod
+    def _validate_merge_source(
+        source: DataFrame, target_cols: list[str], on: list[str], table: str
+    ) -> None:
+        """Shared MERGE preconditions: unique source keys (SQL MERGE
+        raises on multiple matches per target row) and no schema drift
+        (extra source columns would be silently dropped by the
+        target-schema projection)."""
+        extra = set(source.columns) - set(target_cols)
         if extra:
             raise ValueError(
                 f"merge source has columns absent from target {table!r}: "
                 f"{sorted(extra)} — add them via schema evolution first"
             )
-        missing = set(target.columns) - set(source.columns)
+        missing = set(target_cols) - set(source.columns)
         if missing:
             raise ValueError(
                 f"merge source is missing target columns: {sorted(missing)}"
@@ -930,9 +995,6 @@ class Catalog:
                 f"merge source has duplicate rows on key {on} — SQL MERGE "
                 "semantics forbid multiple matches per target row"
             )
-        merged = target.join(source.select(*on).distinct(), on=on, how="left_anti")
-        merged = merged.unionByName(source.select(*target.columns))
-        return self._commit_rewrite(table, cur, merged, "overwrite")
 
     def delete_where(
         self,
@@ -966,6 +1028,37 @@ class Catalog:
         if mode == "copy-on-write":
             kept = self.read(spark, table).filter(~F.expr(predicate))
             return self._commit_rewrite(table, cur, kept, "overwrite")
+        if mode == "merge-on-read-position":
+            # Iceberg v2 position deletes: record the exact (file,
+            # row-ordinal) pairs of the matching rows.  Unlike
+            # equality deletes this can delete ONE of two identical
+            # rows, and the mask is scoped by construction — files
+            # added later have different paths.
+            pos = (
+                self._with_pos(spark, cur)
+                .filter(F.expr(predicate))
+                .select(
+                    F.col(_FILE_COL).alias("file_path"),
+                    F.col(_POS_COL).alias("pos"),
+                )
+            )
+            ddir = self._new_data_dir(table, "posdel")
+            pos.write.mode("overwrite").parquet(ddir)
+            sid = cur["id"] + 1
+            manifest = {
+                "id": sid,
+                "parent": cur["id"],
+                "dirs": cur["dirs"],
+                "partition_by": cur.get("partition_by") or [],
+                "schema": cur.get("schema"),
+                "operation": "delete",
+                "txn_ids": self._carried_txns(snaps),
+                "stats": cur.get("stats") or {},
+                "delete_specs": (cur.get("delete_specs") or [])
+                + [{"dir": ddir, "kind": "position", "id": sid}],
+                "dir_added": cur.get("dir_added") or {},
+            }
+            return self._commit_manifest(table, manifest)
         if mode != "merge-on-read":
             raise ValueError(f"unknown delete mode {mode!r}")
         if not equality_cols:
@@ -994,6 +1087,102 @@ class Catalog:
         }
         # like compact: computed against `cur` — a concurrent commit
         # invalidates the key set, so surface the conflict
+        return self._commit_manifest(table, manifest)
+
+    def _with_pos(self, spark: SparkSession, snap: dict) -> DataFrame:
+        """Raw snapshot rows plus their (file, row-ordinal) address in
+        ``_FILE_COL``/``_POS_COL`` — the producer side of position
+        deletes.  Pending delete masks are NOT applied: re-deleting an
+        already-masked row is a no-op, and the address of a row never
+        changes while its file exists."""
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(snap["schema"]) if snap.get("schema") else None
+        df = None
+        for d in snap["dirs"]:
+            try:
+                part = spark.read.parquet(d)
+            except AnalysisException:
+                continue  # legitimately-empty dir contributes no rows
+            part = part.withColumns({
+                _FILE_COL: F.col("_metadata.file_path"),
+                _POS_COL: F.col("_metadata.row_index"),
+            })
+            df = part if df is None else df.unionByName(part, allowMissingColumns=True)
+        if df is None:
+            if schema is None:
+                raise FileNotFoundError("snapshot has no schema to read")
+            return spark.createDataFrame([], schema).withColumns({
+                _FILE_COL: F.lit(None).cast("string"),
+                _POS_COL: F.lit(None).cast("long"),
+            })
+        if schema is not None:
+            cols = [
+                F.col(f.name) if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ] + [F.col(_FILE_COL), F.col(_POS_COL)]
+            df = df.select(*cols)
+        return df
+
+    def merge_mor(
+        self, spark: SparkSession, table: str, source: DataFrame, on: list[str]
+    ) -> int:
+        """MERGE in merge-on-read mode: position-delete the matched
+        target rows (only files that actually contain a match appear
+        in the delete file) and append the source rows as a new data
+        dir — ONE atomic snapshot, no table rewrite.  The read-side
+        cost until the next ``compact`` is one broadcast anti-join;
+        the write cost is O(source + matches), not O(table) — the
+        upsert shape a 100 TB table needs for small high-frequency
+        MERGEs where copy-on-write would rewrite everything.
+
+        Same source validation as :meth:`merge` (unique on ``on``, no
+        schema drift)."""
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"table {table!r} has no snapshots")
+        cur = snaps[-1]
+        from pyspark.sql.types import StructType
+
+        target_cols = (
+            StructType.fromJson(cur["schema"]).fieldNames()
+            if cur.get("schema")
+            else self.read(spark, table).columns
+        )
+        self._validate_merge_source(source, target_cols, on, table)
+        tgt = self._with_pos(spark, cur)
+        matched = tgt.join(
+            F.broadcast(source.select(*on).distinct()), on=on, how="left_semi"
+        ).select(
+            F.col(_FILE_COL).alias("file_path"), F.col(_POS_COL).alias("pos")
+        )
+        ddir = self._new_data_dir(table, "posdel")
+        matched.write.mode("overwrite").parquet(ddir)
+        adir = self._new_data_dir(table, "m")
+        writer = source.select(*target_cols).write.mode("overwrite")
+        part_by = cur.get("partition_by") or []
+        if part_by:
+            writer = writer.partitionBy(*part_by)
+        writer.parquet(adir)
+        sid = cur["id"] + 1
+        manifest = {
+            "id": sid,
+            "parent": cur["id"],
+            "dirs": cur["dirs"] + [adir],
+            "partition_by": part_by,
+            "schema": cur.get("schema"),
+            "operation": "merge",
+            "txn_ids": self._carried_txns(snaps),
+            "stats": {
+                **(cur.get("stats") or {}),
+                adir: self._collect_dir_stats(adir),
+            },
+            "delete_specs": (cur.get("delete_specs") or [])
+            + [{"dir": ddir, "kind": "position", "id": sid}],
+            "dir_added": {**(cur.get("dir_added") or {}), adir: sid},
+        }
+        # computed against `cur`: surface a concurrent commit
         return self._commit_manifest(table, manifest)
 
     def _commit_rewrite(
@@ -1232,7 +1421,7 @@ class Catalog:
                 )
             schema_json = snap.get("schema") or schema_json
             op = snap.get("operation", "append")
-            if op in ("overwrite", "rollback"):
+            if op in ("overwrite", "rollback", "merge"):
                 # merge/delete rewrote existing rows, rollback removed
                 # some — the append-only delta across either is
                 # undefined (Iceberg's incremental append scan throws
