@@ -923,7 +923,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": corpus.winnow_fingerprints,
         "discount_grid_argmax": corpus.discount_grid_argmax,
         # --- embeddings similarity ---
-        "embedding_norms": similarity.embedding_norms,
+        # embedding_norms rotated to deregistered_checks() r5 (pure
+        # projection, shape subsumed by every family below); its slot
+        # went to the ANN recall@5 audit metric
+        "ann_recall_at_5": similarity.ann_recall_at_5,
         "cosine_topk": similarity.cosine_topk,
         "cosine_topk_bucketed": similarity.cosine_topk_bucketed,
         "cosine_neardup_pairs": similarity.cosine_neardup_pairs,
@@ -1156,7 +1159,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
       )
     """
-    return {
+    d = {
         "qf_labels": (
             f"SELECT image_id, category, reason, keep "
             f"FROM read_parquet('{labels_ref}')"
@@ -1633,12 +1636,6 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM rev ORDER BY revenue DESC, qty_max, disc_min LIMIT 1
         """,
-        "embedding_norms": """
-            SELECT vec_id, label,
-                   sqrt(list_sum(list_transform(embedding,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
-            FROM embeddings
-        """,
         "cosine_topk": """
             WITH e AS (SELECT vec_id, embedding FROM embeddings),
             pairs AS (
@@ -1899,6 +1896,34 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE recovered IS NOT NULL"
         ),
     }
+    # ANN recall@5 audit metric: composed from the exact baseline
+    # (truth twin = the cosine_topk SQL) and the three family results
+    # (bucketed = its full SQL twin; lsh/ivf = the pure-Python
+    # sidecars) — the same pair-set intersection the Spark side takes.
+    d["ann_recall_at_5"] = f"""
+        WITH truth AS (SELECT q, n FROM ({d['cosine_topk']})),
+             ann AS (
+               SELECT 'bucketed' AS family, q, n
+               FROM ({d['cosine_topk_bucketed']})
+               UNION ALL
+               SELECT 'lsh' AS family, q, n
+               FROM read_parquet('{xxh['lsh_ann']}')
+               UNION ALL
+               SELECT 'ivf' AS family, q, n
+               FROM read_parquet('{xxh['ivf_ann']}')
+             ),
+             t AS (SELECT count(*) AS n_truth FROM truth),
+             h AS (
+               SELECT a.family, count(tr.q) AS n_hit
+               FROM ann a LEFT JOIN truth tr
+                 ON a.q = tr.q AND a.n = tr.n
+               GROUP BY a.family
+             )
+        SELECT h.family, h.n_hit, t.n_truth,
+               CAST(h.n_hit AS DOUBLE) / t.n_truth AS recall_at_5
+        FROM h, t
+    """
+    return d
 
 
 # ------------------------------------------- deregistered oracle checks
@@ -1917,12 +1942,21 @@ def deregistered_checks() -> dict:
       three-way parity-pytested in tests/test_streaming.py;
     * top_customers — groupBy-sum + orderBy desc + limit, a shape now
       also registry-covered by qf_feature_importance (same plus a rank
-      window); its slot went to `winnow_fingerprints` (round 4).
+      window); its slot went to `winnow_fingerprints` (round 4);
+    * embedding_norms — pure array-arithmetic projection; every ANN
+      family folds the same norm expression, and its slot went to the
+      `ann_recall_at_5` audit metric (round 5).
 
     Returns {name: (callable, oracle_sql)}."""
-    from qfilter import corpus
+    from qfilter import corpus, similarity
 
     return {
+        "embedding_norms": (similarity.embedding_norms, """
+            SELECT vec_id, label,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+            FROM embeddings
+        """),
         "top_customers": (corpus.top_customers, """
             SELECT c_custkey, c_name, count(*) AS n_orders,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent

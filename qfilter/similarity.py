@@ -491,3 +491,44 @@ def ivf_ann_topk(
         .select("q", "n", "cos")
     )
     return _rank_topk(pairs, k)
+
+
+def ann_recall_at_5(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Recall@k of every approximate-NN family vs the brute-force
+    exact baseline, as a first-class metric query (one row per
+    family).  recall = |ANN top-k pairs ∩ exact top-k pairs| /
+    |exact top-k pairs|, over all queries.
+
+    This is the quality gate an ANN index must publish before a 100 TB
+    deployment trusts it: the bucketed/LSH/IVF variants trade recall
+    for candidate-set size, and the trade must be MEASURED, not
+    assumed (the per-family bound tests in tests/ check candidate
+    counts; this query checks result quality).  The exact baseline is
+    the size-guarded brute force, so the query only runs at fixture
+    scale — which is exactly where a recall audit belongs (sampled
+    slice), never on the full corpus.
+    """
+    truth = cosine_topk(spark, sf_dir, k).select("q", "n")
+    fams = {
+        "bucketed": cosine_topk_bucketed,
+        "lsh": lsh_ann_topk,
+        "ivf": ivf_ann_topk,
+    }
+    all_ann = None
+    for fam, fn in fams.items():
+        part = fn(spark, sf_dir, k).select(
+            F.lit(fam).alias("family"), "q", "n"
+        )
+        all_ann = part if all_ann is None else all_ann.unionByName(part)
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    hits = (
+        all_ann.join(truth.withColumn("__hit", F.lit(1)), ["q", "n"], "left")
+        .groupBy("family")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"))
+    )
+    return hits.crossJoin(n_truth).select(
+        "family",
+        "n_hit",
+        "n_truth",
+        (F.col("n_hit") / F.col("n_truth")).alias("recall_at_5"),
+    )

@@ -620,3 +620,27 @@ def test_adpcm_bad_payload_single_error_row(spark):
     assert rows["bad"].error is not None
     assert rows["g0"].error is None and rows["g1"].error is None
     assert rows["g0"].rms > 0
+
+
+def test_ann_recall_at_5_metric_floors(spark):
+    """The recall@5 audit metric (registered query) with documented
+    floors on the sf0.01 fixture.  The embeddings are near-random —
+    the WORST case for partitioned ANN (true neighbors spread across
+    buckets almost uniformly), so these floors are intentionally low;
+    planted-near-duplicate recall (the case the indexes exist for) is
+    covered by the dedicated planted-pair tests.  Deterministic data +
+    deterministic planes/centroids => stable values; measured r5:
+    bucketed 0.104, lsh 0.690, ivf 0.381."""
+    from qfilter.similarity import ann_recall_at_5
+
+    rows = {
+        r["family"]: r
+        for r in ann_recall_at_5(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert set(rows) == {"bucketed", "lsh", "ivf"}
+    floors = {"bucketed": 0.05, "lsh": 0.5, "ivf": 0.25}
+    for fam, floor in floors.items():
+        assert rows[fam]["recall_at_5"] >= floor, (
+            f"{fam} recall collapsed: {rows[fam]['recall_at_5']}"
+        )
+        assert rows[fam]["n_truth"] > 0
