@@ -120,9 +120,14 @@ def binomial5_blur_b(gray: np.ndarray) -> np.ndarray:
     in float64 (power-of-two divisor, o < 2^31), so np.round's
     half-to-even on it equals the integer banker's-rounding of
     divmod(o, 256) — proven exhaustively for every o in [0, 65280]
-    (tests/test_batch_image.py) — with no float64 temporary."""
+    (tests/test_batch_image.py) — with no float64 temporary.
+
+    uint16 throughout (r5): the vertical pass peaks at 16*255 = 4080
+    and the horizontal at 16*4080 = 65280 < 2^16, so every
+    intermediate fits uint16 exactly — the int32 form moved 2x the
+    bytes through the same arithmetic (the 8->32 scaling ask)."""
     n, h, w = gray.shape
-    g = gray.astype(np.int32)
+    g = gray.astype(np.uint16)
     p = _pad_edge_b(g, 2, 2, 0, 0)
     v = (
         p[:, :h] + 4 * p[:, 1 : h + 1] + 6 * p[:, 2 : h + 2]
@@ -209,7 +214,11 @@ def box_sums_shared_b(gray: np.ndarray, blocks: tuple[int, ...]) -> dict:
 
 
 def adaptive_threshold_inv_b(
-    gray: np.ndarray, block: int, c: float, _sums: np.ndarray | None = None
+    gray: np.ndarray,
+    block: int,
+    c: float,
+    _sums: np.ndarray | None = None,
+    consume: bool = False,
 ) -> np.ndarray:
     """BINARY_INV adaptive threshold, integer form.
 
@@ -220,34 +229,85 @@ def adaptive_threshold_inv_b(
     real-valued gap to the integer px is either 0 (then s/b^2 is an
     exact float) or >= 1/b^2 ~ 6e-4 — proven exhaustively for every
     reachable window sum at each call-site (block, c) pair in
-    tests/test_batch_image.py."""
-    s = box_sums_shared_b(gray, (block,))[block] if _sums is None else _sums
+    tests/test_batch_image.py.
+
+    With ``consume`` (or when the sums are computed here), the sums
+    buffer is transformed IN PLACE into the per-pixel threshold
+    t = floor((s - c*b^2) / b^2) — for integers, px*b^2 <= s - c*b^2
+    iff px <= t (floor division by the positive b^2) — and the final
+    compare runs uint8-vs-int32 through numpy's buffered casting: no
+    full-plane int32 `gray * b^2` temporary ever exists (r5, the
+    8->32 scaling ask).  numpy's scalar integer division is SIMD
+    (npyv divisor), so the floordiv costs what the multiply did."""
     cb2 = c * block * block
     assert cb2 == int(cb2), "integer-form adaptive threshold needs integral c*b^2"
+    if _sums is None:
+        s = box_sums_shared_b(gray, (block,))[block]
+        consume = True
+    else:
+        s = _sums
+    if consume:
+        np.subtract(s, int(cb2), out=s)
+        np.floor_divide(s, block * block, out=s)
+        return (gray <= s).view(np.uint8) * np.uint8(255)
     lhs = gray.astype(s.dtype) * (block * block)
     return ((lhs <= s - int(cb2)) * 255).astype(np.uint8)
 
 
-def _axis_count_u8(b: np.ndarray, k: int, axis: int) -> np.ndarray:
-    """Centered k-window sums of a 0/1 uint8 stack along one image
-    axis, edge-padded.  k <= 255 so the count fits uint8 — k shifted
-    adds move 4x fewer bytes than an int32 cumsum pair, and small-k
-    morphology (3x3, 15x15) dominates the call count."""
+def _axis_count_u8(b: np.ndarray, k: int, axis: int, vmax: int = 255) -> np.ndarray:
+    """Centered k-window sums of a uint8 stack along one image axis,
+    edge-padded; the window sum fits uint8 at every call site
+    (k * vmax <= 255, asserted by the caller's kh*kw <= 255 gate).
+
+    Two regimes (r5, the 8->32 scaling ask):
+    * k <= 15: k shifted adds — the group stacks are L2/L3-resident
+      at Arrow-batch sizes, so contiguous uint8 adds are faster than
+      a strided cumsum up to k ~ 15 (measured: the cumsum loses 3x
+      at k=15 and only wins from k ~ 40).
+    * k > 15: one cumsum along the axis + a shifted-view subtract —
+      O(1) bytes/px instead of O(k); the 1x40 / 40x1 line kernels
+      were paying 39 full-plane adds (measured 1.3x).
+      The cumsum dtype is the smallest that holds the FULL-axis
+      prefix sum (plen * vmax — `vmax` is the caller's bound on the
+      input values: 1 for the first 0/1 pass, kh for the second pass
+      over first-pass counts), so small images stay uint8/uint16.
+      Window count = cs[i+k] - cs[i] is exact integer math (the
+      prefix sums are monotone, so even the narrow dtypes never
+      wrap) — bit-identical to the add chain."""
+    def _cum_dtype(plen: int):
+        peak = plen * vmax
+        if peak <= 255:
+            return np.uint8
+        if peak <= 65535:
+            return np.uint16
+        return np.int64
     if axis == 1:
         ph = k // 2
         p = _pad_edge_b(b, ph, k - 1 - ph, 0, 0)
         h = b.shape[1]
-        out = p[:, :h].copy()
-        for d in range(1, k):
-            out += p[:, d : d + h]
-        return out
+        if k <= 15:
+            out = p[:, :h].copy()
+            for d in range(1, k):
+                out += p[:, d : d + h]
+            return out
+        plen = p.shape[1]
+        dt = _cum_dtype(plen)
+        cs = np.zeros((p.shape[0], plen + 1, p.shape[2]), dtype=dt)
+        np.cumsum(p, axis=1, dtype=dt, out=cs[:, 1:])
+        return (cs[:, k : k + h] - cs[:, :h]).astype(np.uint8, copy=False)
     pw = k // 2
     p = _pad_edge_b(b, 0, 0, pw, k - 1 - pw)
     w = b.shape[2]
-    out = p[:, :, :w].copy()
-    for d in range(1, k):
-        out += p[:, :, d : d + w]
-    return out
+    if k <= 15:
+        out = p[:, :, :w].copy()
+        for d in range(1, k):
+            out += p[:, :, d : d + w]
+        return out
+    plen = p.shape[2]
+    dt = _cum_dtype(plen)
+    cs = np.zeros((p.shape[0], p.shape[1], plen + 1), dtype=dt)
+    np.cumsum(p, axis=2, dtype=dt, out=cs[:, :, 1:])
+    return (cs[:, :, k : k + w] - cs[:, :, :w]).astype(np.uint8, copy=False)
 
 
 def _window_count_b(binary: np.ndarray, kh: int, kw: int) -> np.ndarray:
@@ -260,9 +320,9 @@ def _window_count_b(binary: np.ndarray, kh: int, kw: int) -> np.ndarray:
     if kh * kw <= 255:
         out = b
         if kh > 1:
-            out = _axis_count_u8(out, kh, 1)
+            out = _axis_count_u8(out, kh, 1, vmax=1)
         if kw > 1:
-            out = _axis_count_u8(out, kw, 2)
+            out = _axis_count_u8(out, kw, 2, vmax=kh)
         return out
     n, h, w = binary.shape
     ph, pw = kh // 2, kw // 2
@@ -427,7 +487,8 @@ def _cropped_group_features(c3: np.ndarray) -> dict:
     sums = box_sums_shared_b(med, (35, 41))
 
     # text_density: adaptive INV (35, 15) -> open 3x3 -> ink fraction
-    thr = adaptive_threshold_inv_b(med, 35, 15, _sums=sums[35])
+    # (each sums entry is single-use -> consume in place)
+    thr = adaptive_threshold_inv_b(med, 35, 15, _sums=sums.pop(35), consume=True)
     thr = morph_open_b(thr, 3, 3)
     out["text_density"] = (
         np.count_nonzero(thr.reshape(n, -1), axis=1) / float(h * w)
@@ -480,7 +541,7 @@ def _cropped_group_features(c3: np.ndarray) -> dict:
 
     # core_content_fraction: adaptive INV (41, 15) -> close 15x15 ->
     # largest component area fraction (single close: idempotent)
-    thr_c = adaptive_threshold_inv_b(med, 41, 15, _sums=sums[41])
+    thr_c = adaptive_threshold_inv_b(med, 41, 15, _sums=sums.pop(41), consume=True)
     merged = morph_close_b(thr_c, 15, 15)
     core = np.empty(n)
     merged_stats = _cc_stats_batch(merged)

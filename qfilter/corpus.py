@@ -452,6 +452,127 @@ def trigram_jaccard_pairs(
     return j
 
 
+SUBSTR_K = 8        # shingle width, words (detection resolution)
+SUBSTR_MIN_WORDS = 15  # report spans at least this many words long
+SUBSTR_DF_CAP = 64  # drop shingles present in more docs than this
+
+
+def substring_dup_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = SUBSTR_K,
+    min_words: int = SUBSTR_MIN_WORDS,
+    df_cap: int = SUBSTR_DF_CAP,
+) -> DataFrame:
+    """Exact cross-document duplicated-SPAN detection — the
+    suffix-array-style substring dedup of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (ACL '22), at word
+    granularity.  Unlike doc-level exact/MinHash/winnowing dedup this
+    reports WHICH span of which pair of documents is repeated, the
+    primitive substring-removal dedup needs.
+
+    Algorithm (all DataFrame ops, no UDF):
+      1. k-word shingles at EVERY word position, hashed to int64
+         inside the projection (transform + xxhash64 in one Catalyst
+         expression, then posexplode of the hash array — the string
+         shingles never leave the task).
+      2. Document-frequency cap on the shingle hash (count DISTINCT
+         docs), exactly like `trigram_jaccard_pairs`: a boilerplate
+         k-gram shared by thousands of docs would otherwise explode
+         the self-join O(df^2) — the 100 TB scale-killer.  Capped
+         shingles can split a reported span; semantics are "maximal
+         runs of kept shingles", mirrored in the oracle.
+      3. Self-join on the hash (id1 < id2) -> anti-diagonal runs:
+         matches of one contiguous duplicated span share
+         diag = pos_a - pos_b, and their pos_a values are consecutive.
+         Gaps-and-islands (row_number window per (id1, id2, diag))
+         merges each run into one maximal span: any common substring
+         of >= k words is found, with exact start offsets on both
+         sides and length max-min+k.
+      4. Keep spans >= min_words.
+
+    Dup plant: every doc with >= 51 words gets a partner
+    (doc_id + 2e6) embedding its words 12..51 between unrelated
+    sentinels -> a known 40-word duplicated span per qualifying doc.
+
+    Shuffle budget: explode is map-side; the df agg, the cap join and
+    the self-join all shuffle on `h` (co-partitioned); the window and
+    the span groupBy share one (id1, id2, diag)-clustered exchange
+    (groupBy keys are a superset, Catalyst reuses the partitioning).
+    The gram table is corpus-sized -> DISK_ONLY persist, same policy
+    as the trigram/minhash intermediates.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select("doc_id", _words().alias("ws"))
+    copy = base.filter(F.size("ws") >= 51).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.concat(
+            F.array(
+                F.concat(F.lit("zq"), F.col("doc_id").cast("string")),
+                F.lit("filler"), F.lit("alpha"), F.lit("beta"),
+            ),
+            F.slice("ws", 12, 40),
+            F.array(F.lit("omega"), F.lit("filler"), F.lit("end")),
+        ).alias("ws"),
+    )
+    from pyspark.sql import Window
+
+    all_docs = base.unionByName(copy).filter(F.size("ws") >= k)
+    grams = (
+        all_docs.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(ws) - {k}), i -> "
+                    f"xxhash64(concat_ws(' ', slice(ws, i + 1, {k}))))"
+                )
+            ).alias("pos", "h"),
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "h")
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    keep = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("h")
+    )
+    g = grams.join(keep, "h")
+    a, b = g.alias("a"), g.alias("b")
+    pairs = (
+        a.join(b, F.col("a.h") == F.col("b.h"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.col("a.pos").alias("pa"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+    )
+    wspec = Window.partitionBy("id1", "id2", "diag").orderBy("pa")
+    runs = pairs.withColumn(
+        "grp", F.col("pa") - F.row_number().over(wspec)
+    )
+    return (
+        runs.groupBy("id1", "id2", "diag", "grp")
+        .agg(
+            F.min("pa").alias("s1"),
+            F.max("pa").alias("e1"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .withColumn("span_words", F.col("e1") - F.col("s1") + F.lit(k))
+        .filter(F.col("span_words") >= min_words)
+        .select(
+            "id1",
+            "id2",
+            F.col("s1").alias("start1"),
+            (F.col("s1") - F.col("diag")).alias("start2"),
+            "span_words",
+            "n_grams",
+        )
+    )
+
+
 def _minhash_coeffs(n_perm: int):
     """Deterministic well-mixed 31-bit (a, b) pairs — weak multipliers
     (2i+1) correlate the per-permutation minima and bias the estimate."""
