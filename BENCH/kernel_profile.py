@@ -121,15 +121,14 @@ def build_stages(rows, pxs):
         ("adapt41+close15", per_group(meds, lambda m: B.morph_close_b(
             B.adaptive_threshold_inv_b(m, 41, 15), 15, 15)), nrow),
         ("laplacian", per_group(cropped_stacks, B.laplacian_variance_b), nrow),
-        ("e2e_batch", per_group(
-            [[list(np.stack([p]) for p in pxs[i : i + ARROW_BATCH_ROWS])]
-             for i in range(0, 0)], lambda x: x), nrow),  # placeholder, replaced below
     ]
+
     # full batch path as the reference row
     def stage_full():
         for i in range(0, len(pxs), ARROW_BATCH_ROWS):
             B.image_features_batch(pxs[i : i + ARROW_BATCH_ROWS])
-    stages[-1] = ("FULL_PATH", stage_full, nrow)
+
+    stages.append(("FULL_PATH", stage_full, nrow))
     return stages
 
 

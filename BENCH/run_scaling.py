@@ -229,6 +229,34 @@ range (per the probe table above); other pairs are reported alongside
 for transparency and are bounded above by the kernel ceiling.
 """
 
+    kp_md = ""
+    kp_path = os.path.join(REPO, "BENCH", "kernel_profile.json")
+    if os.path.exists(kp_path):
+        with open(kp_path) as f:
+            kp = json.load(f)
+        kp_levels = kp["procs"]
+        kp_rows = "\n".join(
+            "| " + name + " | "
+            + " | ".join(f"{v[str(p)]:,.0f}" for p in kp_levels)
+            + f" | {v['retention_pct']:.0f}% |"
+            for name, v in kp["kernels"].items()
+        )
+        kp_md = f"""
+## Per-kernel scaling profile (`BENCH/kernel_profile.py`)
+
+Each stage of the production batch path timed separately in P pinned
+processes (aggregate rows/s; retention = per-process throughput at
+{kp_levels[-1]}p as a fraction of {kp_levels[0]}p — 100% = perfectly
+flat, lower = the stage is memory-bandwidth-bound on this box).  This
+is the per-kernel evidence behind the hardware-ceiling attribution,
+and what guided the r5 byte-reduction rewrites (uint16 blur, cumsum
+line morphology, in-place adaptive thresholds):
+
+| kernel | {" | ".join(f"{p}p rows/s" for p in kp_levels)} | retention |
+|---{"|---" * (len(kp_levels) + 1)}|
+{kp_rows}
+"""
+
     md = f"""# BENCH/BASELINE.md — measured scaling (two-parallelism stand-in)
 
 Protocol (BASELINE.md §3): same job (full quality filter: read ->
@@ -249,7 +277,7 @@ gate statistic is the median across recorded sessions —
 {tables}
 * config: spark.sql.shuffle.partitions = 2x cores,
   spark.sql.execution.arrow.maxRecordsPerBatch = 64, AQE on, zstd parquet.
-{ceiling_md}"""
+{ceiling_md}{kp_md}"""
     # preserve the manually-run appendix (data-volume scaling, owned by
     # BENCH/run_volume.py) across re-runs; everything above it —
     # including the hardware-ceiling section — is regenerated here, so

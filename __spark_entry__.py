@@ -2004,6 +2004,11 @@ def deregistered_checks() -> dict:
       strictly stronger fingerprinting op); its slot went to
       `substring_dup_spans` (round 5).
 
+    Round-5 addition (not a rotation): `substring_dedup_apply` — the
+    removal half of exact substring dedup, DuckDB-checked here because
+    the 50 registry slots are full and the detection half
+    (`substring_dup_spans`) is the registered, driver-checked surface.
+
     Returns {name: (callable, oracle_sql)}."""
     from qfilter import corpus, similarity
 
@@ -2011,6 +2016,97 @@ def deregistered_checks() -> dict:
         "fingerprints": (corpus.fingerprints, """
             SELECT doc_id, substring(md5(lower(trim(text))), 1, 16) AS fingerprint
             FROM documents
+        """),
+        # keep-first-occurrence span removal: spans pipeline as above,
+        # then per-doc union-merge of cut ranges + index-filtered word
+        # reassembly (string_agg ORDER BY pos — the oracle rebuilds the
+        # text relationally, independent of Spark's higher-order-fn path)
+        "substring_dedup_apply": (corpus.substring_dedup_apply, """
+            WITH base AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') ws
+              FROM documents
+            ),
+            alldocs AS (
+              SELECT doc_id, ws FROM base
+              UNION ALL
+              SELECT doc_id + 2000000,
+                     list_concat(list_concat(
+                       ['zq' || CAST(doc_id AS VARCHAR), 'filler',
+                        'alpha', 'beta'],
+                       list_slice(ws, 12, 51)),
+                       ['omega', 'filler', 'end'])
+              FROM base WHERE len(ws) >= 51
+            ),
+            grams AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     array_to_string(list_slice(ws, i + 1, i + 8), ' ') AS sh
+              FROM alldocs, UNNEST(range(0, len(ws) - 8 + 1)) AS t(i)
+              WHERE len(ws) >= 8
+            ),
+            keep AS (
+              SELECT sh FROM grams
+              GROUP BY sh HAVING count(DISTINCT doc_id) <= 64
+            ),
+            g AS (SELECT grams.* FROM grams JOIN keep USING (sh)),
+            pairs AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS pa,
+                     a.pos - b.pos AS diag
+              FROM g a JOIN g b
+                ON a.sh = b.sh AND a.doc_id < b.doc_id
+            ),
+            rn AS (
+              SELECT *, pa - row_number()
+                     OVER (PARTITION BY id1, id2, diag ORDER BY pa) AS grp
+              FROM pairs
+            ),
+            spans AS (
+              SELECT id2 AS doc_id,
+                     min(pa) - diag AS s,
+                     min(pa) - diag + max(pa) - min(pa) + 8 AS e
+              FROM rn GROUP BY id1, id2, diag, grp
+              HAVING max(pa) - min(pa) + 8 >= 15
+            ),
+            ordd AS (
+              SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+              FROM spans
+            ),
+            isl AS (
+              SELECT *, sum(CASE WHEN pme IS NULL OR s > pme
+                                 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS island
+              FROM ordd
+            ),
+            mr AS (
+              SELECT doc_id, island, min(s) AS s, max(e) AS e
+              FROM isl GROUP BY 1, 2
+            ),
+            nrem AS (
+              SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_removed
+              FROM mr GROUP BY 1
+            ),
+            words AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i + 1] AS w
+              FROM alldocs, UNNEST(range(0, len(ws))) AS t(i)
+            ),
+            kept AS (
+              SELECT w.* FROM words w
+              WHERE NOT EXISTS (SELECT 1 FROM mr
+                    WHERE mr.doc_id = w.doc_id
+                      AND w.pos >= mr.s AND w.pos < mr.e)
+            ),
+            txt AS (
+              SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text_dedup
+              FROM kept GROUP BY doc_id
+            )
+            SELECT a.doc_id,
+                   coalesce(n.n_removed, 0) AS n_removed,
+                   coalesce(t.text_dedup, '') AS text_dedup
+            FROM alldocs a
+            LEFT JOIN nrem n USING (doc_id)
+            LEFT JOIN txt t USING (doc_id)
         """),
         "embedding_norms": (similarity.embedding_norms, """
             SELECT vec_id, label,

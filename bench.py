@@ -243,6 +243,10 @@ def run_suite(spark, sf_dir: str, tier: str):
             "winnow_fingerprints",
             lambda: corpus.winnow_fingerprints(spark, sf_dir).count(),
         )
+        timed(
+            "substring_dup_spans",
+            lambda: corpus.substring_dup_spans(spark, sf_dir).count(),
+        )
         from __spark_entry__ import queries as _entry_queries
 
         # agg over the UDF outputs, not count(): a bare count() lets

@@ -457,6 +457,28 @@ SUBSTR_MIN_WORDS = 15  # report spans at least this many words long
 SUBSTR_DF_CAP = 64  # drop shingles present in more docs than this
 
 
+def _substring_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + the planted substring-dup partners, as (doc_id, ws)
+    word arrays.  Every doc with >= 51 words gets a partner
+    (doc_id + 2e6) embedding its words 12..51 between unrelated
+    sentinel words -> a known 40-word duplicated span per qualifying
+    doc, mirrored verbatim in the DuckDB oracles."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select("doc_id", _words().alias("ws"))
+    copy = base.filter(F.size("ws") >= 51).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.concat(
+            F.array(
+                F.concat(F.lit("zq"), F.col("doc_id").cast("string")),
+                F.lit("filler"), F.lit("alpha"), F.lit("beta"),
+            ),
+            F.slice("ws", 12, 40),
+            F.array(F.lit("omega"), F.lit("filler"), F.lit("end")),
+        ).alias("ws"),
+    )
+    return base.unionByName(copy)
+
+
 def substring_dup_spans(
     spark: SparkSession,
     sf_dir: str,
@@ -502,22 +524,9 @@ def substring_dup_spans(
     The gram table is corpus-sized -> DISK_ONLY persist, same policy
     as the trigram/minhash intermediates.
     """
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    base = docs.select("doc_id", _words().alias("ws"))
-    copy = base.filter(F.size("ws") >= 51).select(
-        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
-        F.concat(
-            F.array(
-                F.concat(F.lit("zq"), F.col("doc_id").cast("string")),
-                F.lit("filler"), F.lit("alpha"), F.lit("beta"),
-            ),
-            F.slice("ws", 12, 40),
-            F.array(F.lit("omega"), F.lit("filler"), F.lit("end")),
-        ).alias("ws"),
-    )
     from pyspark.sql import Window
 
-    all_docs = base.unionByName(copy).filter(F.size("ws") >= k)
+    all_docs = _substring_corpus(spark, sf_dir).filter(F.size("ws") >= k)
     grams = (
         all_docs.select(
             "doc_id",
@@ -570,6 +579,74 @@ def substring_dup_spans(
             "span_words",
             "n_grams",
         )
+    )
+
+
+def substring_dedup_apply(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = SUBSTR_K,
+    min_words: int = SUBSTR_MIN_WORDS,
+    df_cap: int = SUBSTR_DF_CAP,
+) -> DataFrame:
+    """The REMOVAL half of exact substring dedup (Lee et al. keep one
+    occurrence and cut the rest): for every detected duplicated span,
+    the lower-id document keeps its copy and the higher-id document's
+    word range is cut.  Per doc: overlapping/adjacent cut ranges are
+    union-merged (gaps-and-islands over the running max of range
+    ends), then the surviving words are reassembled in one Catalyst
+    projection (filter-with-index over the word array vs the
+    collected cut ranges — no UDF, no extra shuffle beyond the span
+    pipeline's own).
+
+    Output: (doc_id, n_removed, text_dedup) for EVERY corpus doc
+    (planted partners included); n_removed = words cut.  The cut-range
+    array order is irrelevant (membership test), so collect_list's
+    nondeterministic ordering cannot change the output."""
+    from pyspark.sql import Window
+
+    spans = substring_dup_spans(spark, sf_dir, k, min_words, df_cap)
+    cuts = spans.select(
+        F.col("id2").alias("doc_id"),
+        F.col("start2").alias("s"),
+        (F.col("start2") + F.col("span_words")).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    merged = (
+        cuts.withColumn(
+            "pme",
+            F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "flag",
+            F.when(
+                F.col("pme").isNull() | (F.col("s") > F.col("pme")), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("flag").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("cuts"))
+    )
+    all_docs = _substring_corpus(spark, sf_dir)
+    return all_docs.join(merged, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(
+            F.expr("aggregate(cuts, 0L, (a, r) -> a + r.e - r.s)"),
+            F.lit(0).cast("long"),
+        ).alias("n_removed"),
+        F.when(F.col("cuts").isNull(), F.concat_ws(" ", "ws"))
+        .otherwise(
+            F.expr(
+                "concat_ws(' ', filter(ws, (w, i) -> "
+                "NOT exists(cuts, r -> i >= r.s AND i < r.e)))"
+            )
+        )
+        .alias("text_dedup"),
     )
 
 
