@@ -257,3 +257,28 @@ def test_winnow_single_text_shuffle(spark):
     )
     assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}:\n{plan}"
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_substring_spans_window_agg_share_shuffle(spark):
+    """substring_dup_spans: the gaps-and-islands window partitioned on
+    (id1, id2, diag) and the span groupBy on (id1, id2, diag, grp)
+    must share ONE clustered exchange — the groupBy keys are a
+    superset of the window partition keys, so EnsureRequirements
+    reuses the partitioning.  A second pair-keyed exchange (one
+    carrying `grp`) would mean the run merge reshuffles every match
+    row a second time — at 100 TB the match table is the largest
+    intermediate in the operator."""
+    import re
+
+    from qfilter.corpus import substring_dup_spans
+
+    plan = _fmt(substring_dup_spans(spark, SF))
+    pair_parts = [
+        ln for ln in plan.splitlines() if "hashpartitioning(id1" in ln
+    ]
+    assert len(pair_parts) == 1, f"expected one pair-keyed exchange:\n{plan}"
+    assert "grp" not in pair_parts[0]
+    n_ex = len(re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.M))
+    # h-agg + cap-join + self-join sides + the single pair exchange;
+    # anything beyond that indicates a lost partitioning reuse
+    assert n_ex <= 5, f"unexpected shuffle count {n_ex}:\n{plan}"
