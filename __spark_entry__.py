@@ -922,8 +922,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_gaps": corpus.event_gaps,
         "event_sessions": corpus.event_sessions,
         "weighted_median_value": corpus.weighted_median_value,
+        # benchmark decontamination (13-gram eval-set overlap, the
+        # GPT-3/Llama recipe); its slot came from lineitem_rollup
+        # (plain multi-key groupBy-sum, shape registry-covered by
+        # lang_rollup / qf_category_counts / event_gaps and still
+        # DuckDB-green in deregistered_checks) — rotated r5
+        "decontaminate": corpus.decontaminate,
         # --- TPC-H-ish rollup/join/grid/topk ---
-        "lineitem_rollup": corpus.lineitem_rollup,
         "winnow_fingerprints": corpus.winnow_fingerprints,
         "discount_grid_argmax": corpus.discount_grid_argmax,
         # --- embeddings similarity ---
@@ -1630,17 +1635,50 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3, m.mx
             HAVING win_end <= date_trunc('milliseconds', m.mx) - INTERVAL '2 hours'
         """,
-        "lineitem_rollup": """
-            SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-                        AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
-                   count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-            GROUP BY l_returnflag, l_linestatus
+        # benchmark decontamination: training docs sharing any 13-word
+        # gram with the doc_id%41==0 eval slice of the planted-span
+        # corpus.  The oracle joins on the gram STRING (independent of
+        # the Spark side's xxhash64 broadcast keys) — same
+        # two-implementation strategy as substring_dup_spans.
+        "decontaminate": """
+            WITH base AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') ws
+              FROM documents
+            ),
+            alldocs AS (
+              SELECT doc_id, ws FROM base
+              UNION ALL
+              SELECT doc_id + 2000000,
+                     list_concat(list_concat(
+                       ['zq' || CAST(doc_id AS VARCHAR), 'filler',
+                        'alpha', 'beta'],
+                       list_slice(ws, 12, 51)),
+                       ['omega', 'filler', 'end'])
+              FROM base WHERE len(ws) >= 51
+            ),
+            docs AS (
+              SELECT doc_id, ws,
+                     CAST(len(ws) - 13 + 1 AS BIGINT) AS n_total,
+                     (doc_id % 41 = 0) AS is_bench
+              FROM alldocs WHERE len(ws) >= 13
+            ),
+            grams AS (
+              SELECT doc_id, is_bench,
+                     array_to_string(list_slice(ws, i + 1, i + 13), ' ') AS sh
+              FROM docs, UNNEST(range(0, len(ws) - 13 + 1)) AS t(i)
+            ),
+            bench AS (SELECT DISTINCT sh FROM grams WHERE is_bench),
+            hits AS (
+              SELECT g.doc_id,
+                     count(*) AS n_hits,
+                     count(DISTINCT g.sh) AS n_hit_grams
+              FROM grams g JOIN bench USING (sh)
+              WHERE NOT g.is_bench
+              GROUP BY g.doc_id
+            )
+            SELECT h.doc_id, h.n_hits, h.n_hit_grams, d.n_total,
+                   CAST(h.n_hits AS DOUBLE) / d.n_total AS contam_frac
+            FROM hits h JOIN docs d USING (doc_id)
         """,
         "winnow_fingerprints": """
             WITH norm AS (
@@ -2002,7 +2040,12 @@ def deregistered_checks() -> dict:
     * fingerprints — md5-prefix projection, shape subsumed by
       exact_dedup (same hash machinery) and winnow_fingerprints (the
       strictly stronger fingerprinting op); its slot went to
-      `substring_dup_spans` (round 5).
+      `substring_dup_spans` (round 5);
+    * lineitem_rollup — TPC-H Q1-shape multi-key groupBy with decimal
+      sums, shape registry-covered by lang_rollup / qf_category_counts
+      / event_gaps (and the decimal-sum discipline also exercised by
+      discount_grid_argmax); its slot went to the `decontaminate`
+      eval-set n-gram overlap op (round 5).
 
     Round-5 addition (not a rotation): `substring_dedup_apply` — the
     removal half of exact substring dedup, DuckDB-checked here because
@@ -2016,6 +2059,18 @@ def deregistered_checks() -> dict:
         "fingerprints": (corpus.fingerprints, """
             SELECT doc_id, substring(md5(lower(trim(text))), 1, 16) AS fingerprint
             FROM documents
+        """),
+        "lineitem_rollup": (corpus.lineitem_rollup, """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                        AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
         """),
         # keep-first-occurrence span removal: spans pipeline as above,
         # then per-doc union-merge of cut ranges + index-filtered word

@@ -36,6 +36,7 @@ __all__ = [
     "winnow_fingerprints",
     "cer_per_lang",
     "trigram_jaccard_pairs",
+    "decontaminate",
     "minhash_signatures",
     "minhash_lsh_dup_pairs",
     "connected_components",
@@ -647,6 +648,86 @@ def substring_dedup_apply(
             )
         )
         .alias("text_dedup"),
+    )
+
+
+DECON_N = 13          # n-gram width: the GPT-3 / Llama-2 decontamination recipe
+DECON_BENCH_MOD = 41  # doc_id % 41 == 0 -> held-out eval ("benchmark") doc
+
+
+def decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = DECON_N,
+    bench_mod: int = DECON_BENCH_MOD,
+) -> DataFrame:
+    """Benchmark decontamination: flag every TRAINING document that
+    shares any n-word gram with the held-out eval set — the n-gram
+    overlap rule used to scrub eval benchmarks out of LLM pretraining
+    corpora (GPT-3 appendix C / Llama-2 style, 13-grams).
+
+    Eval set: docs with doc_id % bench_mod == 0, over the same
+    planted-span corpus as `substring_dup_spans` (so every qualifying
+    benchmark doc has a training partner carrying a verbatim 40-word
+    span of it -> 40 - n + 1 known matching gram positions).
+
+    Plan (the 100 TB shape is the point):
+      * both sides shingle map-side (hash inside one Catalyst
+        projection, strings never leave the task);
+      * the eval side is tiny and FIXED-SIZE at any corpus scale (a
+        benchmark suite, not a corpus sample), so its distinct gram
+        hashes BROADCAST to the training scan — the corpus-sized
+        training gram table is never shuffled;
+      * the hit aggregate is a map-side-combinable groupBy on doc_id
+        over only the matched rows;
+      * the per-doc gram totals re-join broadcast (hits are few), so
+        the corpus stays Exchange-free end to end.
+
+    Output, contaminated training docs only: (doc_id, n_hits =
+    matching gram positions, n_hit_grams = distinct matching grams,
+    n_total = gram positions in the doc, contam_frac).  xxhash64 join
+    keys vs the oracle's string join: same two-implementation strategy
+    as `substring_dup_spans`."""
+    docs = (
+        _substring_corpus(spark, sf_dir)
+        .filter(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            "ws",
+            (F.size("ws") - F.lit(n) + F.lit(1)).cast("long").alias("n_total"),
+            (F.col("doc_id") % bench_mod == 0).alias("is_bench"),
+        )
+    )
+
+    def _gram_hashes(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(ws) - {n}), i -> "
+                    f"xxhash64(concat_ws(' ', slice(ws, i + 1, {n}))))"
+                )
+            ).alias("h"),
+        )
+
+    bench = _gram_hashes(docs.filter("is_bench")).select("h").distinct()
+    hits = (
+        _gram_hashes(docs.filter(~F.col("is_bench")))
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("h").alias("n_hit_grams"),
+        )
+    )
+    return docs.select("doc_id", "n_total").join(
+        F.broadcast(hits), "doc_id"
+    ).select(
+        "doc_id",
+        "n_hits",
+        "n_hit_grams",
+        "n_total",
+        (F.col("n_hits") / F.col("n_total")).alias("contam_frac"),
     )
 
 
