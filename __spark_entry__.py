@@ -2047,10 +2047,12 @@ def deregistered_checks() -> dict:
       discount_grid_argmax); its slot went to the `decontaminate`
       eval-set n-gram overlap op (round 5).
 
-    Round-5 addition (not a rotation): `substring_dedup_apply` — the
+    Round-5 additions (not rotations): `substring_dedup_apply` — the
     removal half of exact substring dedup, DuckDB-checked here because
     the 50 registry slots are full and the detection half
-    (`substring_dup_spans`) is the registered, driver-checked surface.
+    (`substring_dup_spans`) is the registered, driver-checked surface —
+    and `temperature_resample`, the alpha=0.5 multilingual mixing
+    subsample, integer-exact so both engines agree bit-for-bit.
 
     Returns {name: (callable, oracle_sql)}."""
     from qfilter import corpus, similarity
@@ -2059,6 +2061,23 @@ def deregistered_checks() -> dict:
         "fingerprints": (corpus.fingerprints, """
             SELECT doc_id, substring(md5(lower(trim(text))), 1, 16) AS fingerprint
             FROM documents
+        """),
+        # alpha=0.5 temperature mixing: w_l = floor(sqrt(c_l)),
+        # keep iff u*S*c_l < 2^32*w_l*B — all-integer cross-multiplied
+        # inequality, u = Knuth multiplicative hash of doc_id.  DuckDB
+        # sums promote to HUGEINT (extra headroom); Spark stays in
+        # overflow-checked BIGINT at fixture magnitudes.
+        "temperature_resample": (corpus.temperature_resample, """
+            WITH cnt AS (
+              SELECT lang, count(*) AS cnt,
+                     CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+              FROM documents GROUP BY lang
+            ),
+            tot AS (SELECT sum(cnt) AS B, sum(w) AS S FROM cnt)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN cnt USING (lang), tot
+            WHERE ((d.doc_id * 2654435761) % 4294967296) * tot.S * cnt.cnt
+                  < 4294967296 * cnt.w * tot.B
         """),
         "lineitem_rollup": (corpus.lineitem_rollup, """
             SELECT l_returnflag, l_linestatus,

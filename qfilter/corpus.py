@@ -731,6 +731,50 @@ def decontaminate(
     )
 
 
+def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (alpha = 0.5, the XLM-R /
+    multilingual-BERT exponent): languages are re-weighted q_l
+    proportional to sqrt(c_l) and the corpus is downsampled to the
+    mixed distribution at unchanged total budget — the standard
+    low-resource-upweighting step of a multilingual LLM data pipeline
+    (subsample-only variant: head languages shrink toward their mixed
+    share, tail languages cap at keep-rate 1 rather than replicate).
+
+    Determinism is integer-exact end to end so the DuckDB twin agrees
+    bit-for-bit: per-row uniform u = (doc_id * 2654435761) % 2^32
+    (Knuth multiplicative hash), weights w_l = floor(sqrt(c_l))
+    (IEEE sqrt of an exact-below-2^52 integer, correctly rounded in
+    both engines), and the keep test is the cross-multiplied integer
+    inequality  u * S * c_l < 2^32 * w_l * B  (B = sum c, S = sum w;
+    min(keep_rate, 1) falls out because u < 2^32).  No float sums
+    whose accumulation order could differ between engines.  Fixture
+    magnitudes keep every product below 2^63; a 10^12-row run would
+    hold the same inequality in decimal/128-bit.
+
+    Plan: one tiny groupBy(lang) + its scalar rollup, both broadcast
+    back to the corpus scan — the corpus itself is filtered map-side,
+    zero corpus-sized shuffles."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    cnt = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "w", F.floor(F.sqrt(F.col("cnt").cast("double"))).cast("long")
+        )
+    )
+    tot = cnt.agg(F.sum("cnt").alias("B"), F.sum("w").alias("S"))
+    rates = cnt.crossJoin(F.broadcast(tot))
+    u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(
+            u * F.col("S") * F.col("cnt")
+            < F.lit(4294967296) * F.col("w") * F.col("B")
+        )
+        .select("doc_id", "lang")
+    )
+
+
 def _minhash_coeffs(n_perm: int):
     """Deterministic well-mixed 31-bit (a, b) pairs — weak multipliers
     (2i+1) correlate the per-permutation minima and bias the estimate."""

@@ -127,3 +127,38 @@ def test_stratified_sample_is_a_deterministic_subset(spark):
     assert s1 == s2
     all_ids = {r["doc_id"] for r in dataset_split(spark, SF_DIR).collect()}
     assert set(s1) <= all_ids
+
+
+def test_temperature_resample_mixing_shape(spark):
+    """alpha=0.5 mixing: head languages are downsampled toward their
+    mixed share, tail languages kept (near-)fully; realized keep
+    ratios track the analytic rate min(1, sqrt(c)*B/(S*c)) within
+    binomial noise; assignment is deterministic (pure f(doc_id))."""
+    import math
+
+    from qfilter.corpus import load, temperature_resample
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "lang")
+    before = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept_df = temperature_resample(spark, SF_DIR)
+    after = {r.lang: r.n for r in kept_df.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    B = sum(before.values())
+    S = sum(int(math.isqrt(c)) for c in before.values())
+    for lang, c in before.items():
+        rate = min(1.0, math.isqrt(c) * B / (S * c))
+        realized = after.get(lang, 0) / c
+        # u is a Knuth-hash uniform: allow ~4-sigma binomial noise
+        tol = 4 * math.sqrt(rate * (1 - rate) / c) + 1 / c
+        assert abs(realized - rate) <= tol, (lang, c, rate, realized)
+
+    # head lang downsampled strictly more than tail lang
+    head = max(before, key=before.get)
+    tail = min(before, key=before.get)
+    if before[head] > 4 * before[tail]:
+        assert after[head] / before[head] < after.get(tail, 0) / before[tail]
+
+    # deterministic: a second invocation yields the identical doc set
+    a = {r.doc_id for r in kept_df.collect()}
+    b = {r.doc_id for r in temperature_resample(spark, SF_DIR).collect()}
+    assert a == b
