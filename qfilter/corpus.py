@@ -683,6 +683,11 @@ def decontaminate(
       * the per-doc gram totals re-join broadcast (hits are few), so
         the corpus stays Exchange-free end to end.
 
+    The synthetic fixture derives the eval slice from the corpus table
+    itself, which plans as a second (filtered) scan; a production run
+    reads the benchmark suite from its own tiny table, so the corpus
+    is scanned exactly once.
+
     Output, contaminated training docs only: (doc_id, n_hits =
     matching gram positions, n_hit_grams = distinct matching grams,
     n_total = gram positions in the doc, contam_frac).  xxhash64 join
