@@ -248,6 +248,14 @@ def run_suite(spark, sf_dir: str, tier: str):
             "substring_dup_spans",
             lambda: corpus.substring_dup_spans(spark, sf_dir).count(),
         )
+        timed(
+            "decontaminate",
+            lambda: corpus.decontaminate(spark, sf_dir).count(),
+        )
+        timed(
+            "temperature_resample",
+            lambda: corpus.temperature_resample(spark, sf_dir).count(),
+        )
         from __spark_entry__ import queries as _entry_queries
 
         # agg over the UDF outputs, not count(): a bare count() lets
