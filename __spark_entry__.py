@@ -2051,8 +2051,9 @@ def deregistered_checks() -> dict:
     removal half of exact substring dedup, DuckDB-checked here because
     the 50 registry slots are full and the detection half
     (`substring_dup_spans`) is the registered, driver-checked surface —
-    and `temperature_resample`, the alpha=0.5 multilingual mixing
-    subsample, integer-exact so both engines agree bit-for-bit.
+    and `temperature_resample` / `temperature_resample_upsampled`, the
+    alpha=0.5 multilingual mixing subsample and its full-replication
+    variant, integer-exact so both engines agree bit-for-bit.
 
     Returns {name: (callable, oracle_sql)}."""
     from qfilter import corpus, similarity
@@ -2078,6 +2079,34 @@ def deregistered_checks() -> dict:
             FROM documents d JOIN cnt USING (lang), tot
             WHERE ((d.doc_id * 2654435761) % 4294967296) * tot.S * cnt.cnt
                   < 4294967296 * cnt.w * tot.B
+        """),
+        # full temperature resample WITH tail replication: per-lang
+        # target n_l = round-half-up(w_l*B/S) computed as the integer
+        # (2wB+S)//(2S); copies = n_l//c_l + (u*c_l < (n_l%c_l)*2^32).
+        # DuckDB's BIGINT sums promote to HUGEINT -- extra headroom,
+        # same values.
+        "temperature_resample_upsampled": (corpus.temperature_resample_upsampled, """
+            WITH cnt AS (
+              SELECT lang, count(*) AS cnt,
+                     CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+              FROM documents GROUP BY lang
+            ),
+            tot AS (SELECT sum(cnt) AS B, sum(w) AS S FROM cnt),
+            plan AS (
+              SELECT lang, cnt, (2 * w * B + S) // (2 * S) AS target
+              FROM cnt, tot
+            ),
+            c AS (
+              SELECT d.doc_id, d.lang,
+                     p.target // p.cnt
+                     + CASE WHEN ((d.doc_id * 2654435761) % 4294967296) * p.cnt
+                                 < (p.target % p.cnt) * 4294967296
+                            THEN 1 ELSE 0 END AS copies
+              FROM documents d JOIN plan p USING (lang)
+            )
+            SELECT doc_id, lang, CAST(i AS BIGINT) AS copy_idx
+            FROM c, UNNEST(range(0, CAST(copies AS BIGINT))) AS t(i)
+            WHERE copies > 0
         """),
         "lineitem_rollup": (corpus.lineitem_rollup, """
             SELECT l_returnflag, l_linestatus,

@@ -780,6 +780,57 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temperature_resample_upsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full XLM-R temperature resample (alpha = 0.5) WITH tail
+    replication: each language's target row count is
+    n_l = round(sqrt(c_l)/S * B) (B = corpus size, S = sum of integer
+    sqrt weights), head languages are downsampled and tail languages
+    UPSAMPLED by emitting (doc_id, lang, copy_idx) replicas — the half
+    `temperature_resample` deliberately omits.
+
+    Everything stays in integer arithmetic so the DuckDB twin agrees
+    bit-for-bit: n_l = (2*w_l*B + S) div (2*S) (round-half-up without
+    floats), per-doc copies = n_l div c_l plus one extra when
+    u*c_l < (n_l mod c_l)*2^32 (u = Knuth hash of doc_id) — realized
+    per-lang totals are n_l in expectation with binomial noise only on
+    the fractional part.  Replicas materialize as a map-side
+    explode(sequence(0, copies-1)); the per-lang plan (a handful of
+    rows) broadcasts, so the corpus is never shuffled."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    cnt = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "w", F.floor(F.sqrt(F.col("cnt").cast("double"))).cast("long")
+        )
+    )
+    tot = cnt.agg(F.sum("cnt").alias("B"), F.sum("w").alias("S"))
+    plan = cnt.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "cnt",
+        F.expr("(2 * w * B + S) div (2 * S)").alias("target"),
+    )
+    u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    return (
+        docs.join(F.broadcast(plan), "lang")
+        .withColumn(
+            "copies",
+            F.expr("target div cnt")
+            + F.when(
+                u * F.col("cnt")
+                < (F.col("target") % F.col("cnt")) * F.lit(4294967296),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .filter(F.col("copies") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.expr("sequence(0L, copies - 1)")).alias("copy_idx"),
+        )
+    )
+
+
 def _minhash_coeffs(n_perm: int):
     """Deterministic well-mixed 31-bit (a, b) pairs — weak multipliers
     (2i+1) correlate the per-permutation minima and bias the estimate."""

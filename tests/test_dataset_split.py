@@ -162,3 +162,42 @@ def test_temperature_resample_mixing_shape(spark):
     a = {r.doc_id for r in kept_df.collect()}
     b = {r.doc_id for r in temperature_resample(spark, SF_DIR).collect()}
     assert a == b
+
+
+def test_temperature_resample_upsampled_targets(spark):
+    """Full-replication variant: per-lang realized totals hit the
+    integer target n_l = round(w_l*B/S) up to binomial noise on the
+    fractional copy; tail languages genuinely UPSAMPLE (realized > c);
+    copy indices are dense per doc."""
+    import math
+
+    from qfilter.corpus import load, temperature_resample_upsampled
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "lang")
+    before = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    out = temperature_resample_upsampled(spark, SF_DIR)
+    after = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    B = sum(before.values())
+    S = sum(int(math.isqrt(c)) for c in before.values())
+    upsampled = 0
+    for lang, c in before.items():
+        target = (2 * int(math.isqrt(c)) * B + S) // (2 * S)
+        frac = (target % c) / c
+        tol = 4 * math.sqrt(max(frac * (1 - frac), 1e-9) * c) + 1
+        assert abs(after.get(lang, 0) - target) <= tol, (lang, c, target, after.get(lang))
+        if target > c:
+            assert after[lang] > c
+            upsampled += 1
+    assert upsampled >= 1, "fixture has no tail language to upsample"
+
+    # copy_idx is dense 0..copies-1 per doc
+    per_doc = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("copy_idx").alias("mx"),
+        F.min("copy_idx").alias("mn"),
+    )
+    bad = per_doc.filter(
+        (F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1)
+    ).count()
+    assert bad == 0
