@@ -72,8 +72,15 @@ def grayscale_b(px: np.ndarray) -> np.ndarray:
     step = max(1, (1 << 20) // (h * w * 8) or 1)
     for i in range(0, n, step):
         c = px[i : i + step]
-        f = c[..., 0] * 0.299 + c[..., 1] * 0.587 + c[..., 2] * 0.114
-        out[i : i + step] = np.clip(np.round(f), 0, 255)
+        # in-place accumulation (one f64 temporary instead of four);
+        # the clip of the scalar path is provably redundant: round(luma)
+        # lies in [0, 255] for every RGB triple (exhaustive check in
+        # tests/test_batch_image.py), so uint8 assignment is exact
+        f = c[..., 0] * 0.299
+        f += c[..., 1] * 0.587
+        f += c[..., 2] * 0.114
+        np.round(f, out=f)
+        out[i : i + step] = f
     return out
 
 
@@ -116,31 +123,33 @@ def brightness_stats_b(gray: np.ndarray):
 def binomial5_blur_b(gray: np.ndarray) -> np.ndarray:
     """Batched `imageops.binomial5_blur` (identical integer conv).
 
-    The final rounding is done in integer arithmetic: o/256 is EXACT
-    in float64 (power-of-two divisor, o < 2^31), so np.round's
-    half-to-even on it equals the integer banker's-rounding of
-    divmod(o, 256) — proven exhaustively for every o in [0, 65280]
-    (tests/test_batch_image.py) — with no float64 temporary.
-
     uint16 throughout (r5): the vertical pass peaks at 16*255 = 4080
     and the horizontal at 16*4080 = 65280 < 2^16, so every
     intermediate fits uint16 exactly — the int32 form moved 2x the
-    bytes through the same arithmetic (the 8->32 scaling ask)."""
+    bytes through the same arithmetic (the 8->32 scaling ask).
+
+    r6: each (1,4,6,4,1) tap is evaluated as four cascaded two-tap
+    adds ((1,1)^4 — binomial factorization, exact integer algebra,
+    asserted in tests/test_batch_image.py), replacing 4 adds + 2
+    scalar multiplies per axis with 4 adds; and the final banker's
+    rounding of o/256 is the branch-free shift form
+    (o + 127 + ((o>>8)&1)) >> 8 — equal to the divmod form for every
+    o in [0, 65280] (exhaustive test), with no bool temporaries.
+    o + 128 <= 65408 < 2^16, so the add cannot wrap."""
     n, h, w = gray.shape
-    g = gray.astype(np.uint16)
-    p = _pad_edge_b(g, 2, 2, 0, 0)
-    v = (
-        p[:, :h] + 4 * p[:, 1 : h + 1] + 6 * p[:, 2 : h + 2]
-        + 4 * p[:, 3 : h + 3] + p[:, 4 : h + 4]
-    )
+    p = _pad_edge_b(gray, 2, 2, 0, 0).astype(np.uint16)
+    v = p[:, :-1] + p[:, 1:]
+    v = v[:, :-1] + v[:, 1:]
+    v = v[:, :-1] + v[:, 1:]
+    v = v[:, :-1] + v[:, 1:]
     p = _pad_edge_b(v, 0, 0, 2, 2)
-    o = (
-        p[:, :, :w] + 4 * p[:, :, 1 : w + 1] + 6 * p[:, :, 2 : w + 2]
-        + 4 * p[:, :, 3 : w + 3] + p[:, :, 4 : w + 4]
-    )
-    q, r = np.divmod(o, 256)
-    q += (r > 128) | ((r == 128) & ((q & 1) == 1))
-    return q.astype(np.uint8)
+    o = p[:, :, :-1] + p[:, :, 1:]
+    o = o[:, :, :-1] + o[:, :, 1:]
+    o = o[:, :, :-1] + o[:, :, 1:]
+    o = o[:, :, :-1] + o[:, :, 1:]
+    o += 127 + ((o >> 8) & np.uint16(1))
+    o >>= 8
+    return o.astype(np.uint8)
 
 
 def otsu_threshold_b(gray: np.ndarray) -> np.ndarray:
@@ -181,10 +190,26 @@ def median3_b(gray: np.ndarray) -> np.ndarray:
 
 
 def _double_cumsum_b(p: np.ndarray, dtype) -> np.ndarray:
-    """(n, H+1, W+1) integral images of a (n, H, W) stack."""
+    """(n, H+1, W+1) integral images of a (n, H, W) stack.
+
+    For uint8 input whose column prefix sums provably fit uint16
+    (H * 255 <= 65535), the first cumsum runs in uint16 — half the
+    intermediate bytes of the int32 form; the second cumsum widens to
+    the target dtype with identical integer values."""
     n, H, W = p.shape
     ii = np.zeros((n, H + 1, W + 1), dtype=dtype)
-    np.cumsum(np.cumsum(p, axis=1, dtype=dtype), axis=2, out=ii[:, 1:, 1:])
+    if p.dtype == np.uint8 and H * 255 <= 65535:
+        # vertical prefix as a row-add loop: each np.add is one SIMD
+        # pass over a contiguous (n, W) row pair — measured 2x faster
+        # than np.cumsum's generic accumulate loop; integer adds in
+        # any association are exact, so values are identical
+        v = np.empty((n, H, W), dtype=np.uint16)
+        v[:, 0] = p[:, 0]
+        for i in range(1, H):
+            np.add(v[:, i - 1], p[:, i], out=v[:, i])
+        np.cumsum(v, axis=2, dtype=dtype, out=ii[:, 1:, 1:])
+    else:
+        np.cumsum(np.cumsum(p, axis=1, dtype=dtype), axis=2, out=ii[:, 1:, 1:])
     return ii
 
 
@@ -219,6 +244,7 @@ def adaptive_threshold_inv_b(
     c: float,
     _sums: np.ndarray | None = None,
     consume: bool = False,
+    binary01: bool = False,
 ) -> np.ndarray:
     """BINARY_INV adaptive threshold, integer form.
 
@@ -249,8 +275,12 @@ def adaptive_threshold_inv_b(
     if consume:
         np.subtract(s, int(cb2), out=s)
         np.floor_divide(s, block * block, out=s)
+        if binary01:
+            return (gray <= s).view(np.uint8)
         return (gray <= s).view(np.uint8) * np.uint8(255)
     lhs = gray.astype(s.dtype) * (block * block)
+    if binary01:
+        return (lhs <= s - int(cb2)).view(np.uint8)
     return ((lhs <= s - int(cb2)) * 255).astype(np.uint8)
 
 
@@ -310,13 +340,19 @@ def _axis_count_u8(b: np.ndarray, k: int, axis: int, vmax: int = 255) -> np.ndar
     return (cs[:, :, k : k + w] - cs[:, :, :w]).astype(np.uint8, copy=False)
 
 
-def _window_count_b(binary: np.ndarray, kh: int, kw: int) -> np.ndarray:
+def _window_count_b(
+    binary: np.ndarray, kh: int, kw: int, is01: bool = False
+) -> np.ndarray:
     """Batched `imageops._window_count` — exact integer counts via
     separable uint8 passes (window count = vertical count then
     horizontal sum of counts; kh*kw <= 255 at every call site, checked,
     so both passes stay uint8).  Larger kernels fall back to the int32
-    integral pair."""
-    b = (binary != 0).view(np.uint8)
+    integral pair.
+
+    ``is01``: the caller guarantees a uint8 0/1 plane (the internal
+    morphology pipeline), skipping the ``!= 0`` normalization pass —
+    window counts over 0/1 equal counts over the 0/255 form exactly."""
+    b = binary if is01 else (binary != 0).view(np.uint8)
     if kh * kw <= 255:
         out = b
         if kh > 1:
@@ -357,6 +393,67 @@ def morph_close_b(binary: np.ndarray, kh: int, kw: int) -> np.ndarray:
     return erode_b(dilate_b(binary, kh, kw), kh, kw)
 
 
+# 0/1-plane morphology (r6): the feature pipeline only ever consumes
+# masks through `count_nonzero` or connected components (`!= 0`), so
+# the 0/255 convention of the public kernels above is wasted work
+# internally — each erode/dilate paid a `* 255` materialization and
+# the next `_window_count_b` paid a `!= 0` to undo it.  These internal
+# forms keep everything uint8 0/1 end to end: identical nonzero
+# patterns (a window count over 0/1 equals the count over 0/255), so
+# every downstream value is bit-identical — asserted against the
+# scalar `imageops` path by tests/test_batch_image.py.
+
+def _axis_win01(p: np.ndarray, k: int, axis: int, op) -> np.ndarray:
+    """Sliding-window OR/AND of length k along one axis of a
+    pre-padded 0/1 stack via run doubling: q_{r+s}(i) = op(q_r(i),
+    q_r(i+s)) with s = min(r, k-r) — ceil(log2 k)+1 SIMD passes
+    instead of k-1 adds or a sequential cumsum.  Output length =
+    padded length - k + 1 (= the unpadded length)."""
+    run = 1
+    while run < k:
+        s = min(run, k - run)
+        if axis == 1:
+            p = op(p[:, : p.shape[1] - s], p[:, s:])
+        else:
+            p = op(p[:, :, : p.shape[2] - s], p[:, :, s:])
+        run += s
+    return p
+
+
+def _erode01(b01: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    out = b01
+    if kh > 1:
+        ph = kh // 2
+        p = _pad_edge_b(out, ph, kh - 1 - ph, 0, 0)
+        out = _axis_win01(p, kh, 1, np.bitwise_and)
+    if kw > 1:
+        pw = kw // 2
+        p = _pad_edge_b(out, 0, 0, pw, kw - 1 - pw)
+        out = _axis_win01(p, kw, 2, np.bitwise_and)
+    return out
+
+
+def _dilate01(b01: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    out = b01
+    if kh > 1:
+        ph = kh // 2
+        p = _pad_edge_b(out, ph, kh - 1 - ph, 0, 0)
+        out = _axis_win01(p, kh, 1, np.bitwise_or)
+    if kw > 1:
+        pw = kw // 2
+        p = _pad_edge_b(out, 0, 0, pw, kw - 1 - pw)
+        out = _axis_win01(p, kw, 2, np.bitwise_or)
+    return out
+
+
+def _open01(b01: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    return _dilate01(_erode01(b01, kh, kw), kh, kw)
+
+
+def _close01(b01: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    return _erode01(_dilate01(b01, kh, kw), kh, kw)
+
+
 def laplacian_variance_b(gray: np.ndarray) -> np.ndarray:
     """Batched Laplacian; per-image var on the contiguous slice (same
     values, same memory order as the scalar `lap.var()`)."""
@@ -378,8 +475,6 @@ def average_hash_b(gray: np.ndarray) -> np.ndarray:
     all images; cell quotients and the >mean bit test are identical.
     """
     n, h, w = gray.shape
-    acc = np.int32 if h * w * 255 < 2**31 else np.int64
-    ii = _double_cumsum_b(gray, acc)
     ys = (np.arange(8 + 1) * h) // 8
     xs = (np.arange(8 + 1) * w) // 8
     ys = np.maximum(ys, np.arange(9))
@@ -401,9 +496,26 @@ def average_hash_b(gray: np.ndarray) -> np.ndarray:
     Y0 = y0g[:, None]; Y1 = y1g[:, None]
     X0 = x0g[None, :]; X1 = x1g[None, :]
     areas = ((Y1 - Y0) * (X1 - X0)).astype(np.float64)
-    cells = (
-        ii[:, Y1, X1] - ii[:, Y0, X1] - ii[:, Y1, X0] + ii[:, Y0, X0]
-    ) / areas  # (n, 8, 8)
+    if (
+        h >= 8 and w >= 8
+        and y0g[0] == 0 and y1g[-1] == h
+        and x0g[0] == 0 and x1g[-1] == w
+        and np.array_equal(y0g[1:], y1g[:-1])
+        and np.array_equal(x0g[1:], x1g[:-1])
+    ):
+        # cells tile the plane exactly (every h, w >= 8): sum each
+        # cell directly with two reduceat passes — same exact integer
+        # sums as the integral-difference form, without allocating and
+        # double-cumsumming the (n, h+1, w+1) int32 integral (r6)
+        acc = np.int32 if h * w * 255 < 2**31 else np.int64
+        rows = np.add.reduceat(gray.astype(acc), y0g, axis=1)
+        cells = np.add.reduceat(rows, x0g, axis=2) / areas  # (n, 8, 8)
+    else:
+        acc = np.int32 if h * w * 255 < 2**31 else np.int64
+        ii = _double_cumsum_b(gray, acc)
+        cells = (
+            ii[:, Y1, X1] - ii[:, Y0, X1] - ii[:, Y1, X0] + ii[:, Y0, X0]
+        ) / areas  # (n, 8, 8)
     flat = cells.reshape(n, 64)
     means = np.array([float(flat[i].mean()) for i in range(n)])
     bits = flat > means[:, None]
@@ -425,7 +537,8 @@ def _cc_stats_batch(masks: np.ndarray) -> list:
     tall = np.zeros((n * (h + 1), w), dtype=np.uint8)
     v = tall[: n * (h + 1)].reshape(n, h + 1, w)
     v[:, :h, :] = masks
-    st = connected_component_stats(tall, band_h=h + 1)
+    # every caller now passes 0/1 masks (the r6 binary pipeline)
+    st = connected_component_stats(tall, band_h=h + 1, assume01=True)
     out: list = [None] * n
     if st is None:
         return out
@@ -448,7 +561,9 @@ def _roi_crop_b(gray: np.ndarray):
     n, h, w = gray.shape
     blur = binomial5_blur_b(gray)
     ts = otsu_threshold_b(blur)
-    th = ((blur > ts[:, None, None]) * 255).astype(np.uint8)
+    # 0/1 mask straight into CC (it keys on `!= 0`): the 0/255
+    # materialization pass of the r5 form carried no information
+    th = (blur > ts[:, None, None]).view(np.uint8)
     cropped = []
     fracs = np.empty(n)
     stats = _cc_stats_batch(th)
@@ -487,17 +602,20 @@ def _cropped_group_features(c3: np.ndarray) -> dict:
     sums = box_sums_shared_b(med, (35, 41))
 
     # text_density: adaptive INV (35, 15) -> open 3x3 -> ink fraction
-    # (each sums entry is single-use -> consume in place)
-    thr = adaptive_threshold_inv_b(med, 35, 15, _sums=sums.pop(35), consume=True)
-    thr = morph_open_b(thr, 3, 3)
+    # (each sums entry is single-use -> consume in place; 0/1 masks
+    # throughout — count_nonzero and CC see identical patterns)
+    thr = adaptive_threshold_inv_b(
+        med, 35, 15, _sums=sums.pop(35), consume=True, binary01=True
+    )
+    thr = _open01(thr, 3, 3)
     out["text_density"] = (
         np.count_nonzero(thr.reshape(n, -1), axis=1) / float(h * w)
     )
 
     # is_table_like: adaptive INV (31, 10) -> open 1x40 / 40x1
-    thr_t = adaptive_threshold_inv_b(c3, 31, 10)
-    h_lines = morph_open_b(thr_t, 1, 40)
-    v_lines = morph_open_b(thr_t, 40, 1)
+    thr_t = adaptive_threshold_inv_b(c3, 31, 10, binary01=True)
+    h_lines = _open01(thr_t, 1, 40)
+    v_lines = _open01(thr_t, 40, 1)
     frac = (
         np.count_nonzero(h_lines.reshape(n, -1), axis=1)
         + np.count_nonzero(v_lines.reshape(n, -1), axis=1)
@@ -508,9 +626,11 @@ def _cropped_group_features(c3: np.ndarray) -> dict:
     # adaptive INV (31, 11), dilate (3, kw), per-image components
     m = int(min(h, w) * 0.06)
     roi = c3[:, m : h - m, m : w - m] if min(h, w) - 2 * m > 4 else c3
-    thr_s = adaptive_threshold_inv_b(np.ascontiguousarray(roi), 31, 11)
+    thr_s = adaptive_threshold_inv_b(
+        np.ascontiguousarray(roi), 31, 11, binary01=True
+    )
     kw = max(20, roi.shape[2] // 50)
-    lines = dilate_b(thr_s, 3, kw)
+    lines = _dilate01(thr_s, 3, kw)
     area_min = roi.shape[1] * roi.shape[2] * 3e-4
     skew = np.empty(n)
     line_stats = _cc_stats_batch(lines)
@@ -541,8 +661,10 @@ def _cropped_group_features(c3: np.ndarray) -> dict:
 
     # core_content_fraction: adaptive INV (41, 15) -> close 15x15 ->
     # largest component area fraction (single close: idempotent)
-    thr_c = adaptive_threshold_inv_b(med, 41, 15, _sums=sums.pop(41), consume=True)
-    merged = morph_close_b(thr_c, 15, 15)
+    thr_c = adaptive_threshold_inv_b(
+        med, 41, 15, _sums=sums.pop(41), consume=True, binary01=True
+    )
+    merged = _close01(thr_c, 15, 15)
     core = np.empty(n)
     merged_stats = _cc_stats_batch(merged)
     for i in range(n):

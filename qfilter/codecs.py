@@ -226,10 +226,13 @@ def _decode_png(data: bytes) -> np.ndarray:
         dtype=np.uint8,
     )
     raw = raw.reshape(h, 1 + w * 3)
-    # fast path: all filters in {0,2} (what our encoder emits) — fully vectorized
-    if np.isin(raw[:, 0], (0, 2)).all():
+    # fast path: all filters in {0,2} (what our encoder emits) — fully
+    # vectorized.  Plain boolean test, not np.isin: isin's sort-based
+    # machinery cost ~80 us per call on a 128-row filter column.
+    ftypes = raw[:, 0]
+    if not (ftypes & np.uint8(0xFD)).any():  # f & ~2 == 0  <=>  f in {0, 2}
         out = raw[:, 1:].copy()
-        up_rows = np.flatnonzero(raw[:, 0] == 2)
+        up_rows = np.flatnonzero(ftypes == 2)
         if up_rows.size:
             # cumulative "Up" per contiguous run: one uint8 accumulate
             # (mod-256 == PNG's byte arithmetic) instead of a per-row
@@ -260,11 +263,23 @@ def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
 
 
 def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
-    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).round().astype(np.uint8)
+    return _ycbcr_planes_to_rgb(ycc[..., 0], ycc[..., 1], ycc[..., 2])
+
+
+def _ycbcr_planes_to_rgb(y: np.ndarray, cbp: np.ndarray, crp: np.ndarray) -> np.ndarray:
+    """Per-plane YCbCr -> RGB: the same float32 expressions as the
+    historical stacked form (same per-element op order, so identical
+    rounding), but written into one preallocated output instead of
+    building r/g/b temporaries plus an np.stack copy."""
+    cb = cbp - 128.0
+    cr = crp - 128.0
+    out = np.empty(y.shape + (3,), dtype=np.float32)
+    out[..., 0] = y + 1.402 * cr
+    out[..., 1] = y - 0.344136 * cb - 0.714136 * cr
+    out[..., 2] = y + 1.772 * cb
+    np.clip(out, 0, 255, out=out)
+    np.round(out, out=out)
+    return out.astype(np.uint8)
 
 
 def _encode_qjpg(px: np.ndarray) -> bytes:
@@ -310,8 +325,9 @@ def _decode_qjpg(data: bytes) -> np.ndarray:
     cq = cq.reshape(he // 2, we // 2, 2).astype(np.float32) * _QC
     # nearest-neighbor chroma upsample
     cup = np.repeat(np.repeat(cq, 2, axis=0), 2, axis=1)[:h, :w]
-    ycc = np.concatenate([(yq.astype(np.float32) * _QY)[..., None], cup], axis=-1)
-    return _ycbcr_to_rgb(ycc)
+    return _ycbcr_planes_to_rgb(
+        yq.astype(np.float32) * _QY, cup[..., 0], cup[..., 1]
+    )
 
 
 # ------------------------------------------------------------- public

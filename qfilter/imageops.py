@@ -328,7 +328,9 @@ def connected_components(binary: np.ndarray):
     ]
 
 
-def connected_component_stats(binary: np.ndarray, band_h: int | None = None):
+def connected_component_stats(
+    binary: np.ndarray, band_h: int | None = None, assume01: bool = False
+):
     """Array-form component stats (the batched hot path consumes these
     directly — no per-component dict building): dict of parallel numpy
     arrays  area / x1 / y1 / x2 / y2 / sum_x / sum_y / sxx / syy / sxy
@@ -349,12 +351,26 @@ def connected_component_stats(binary: np.ndarray, band_h: int | None = None):
     disjoint); per-component stats via bincount over resolved roots.
     """
     h, w = binary.shape
-    mask = binary != 0
     padded = np.zeros((h, w + 2), dtype=np.int8)
-    padded[:, 1:-1] = mask
+    if assume01:
+        # caller guarantees a 0/1 plane (the batched pipeline) — the
+        # `!= 0` normalization pass would be a no-op
+        padded[:, 1:-1] = binary
+    else:
+        padded[:, 1:-1] = binary != 0
     d = np.diff(padded, axis=1)
-    sy, sx = np.nonzero(d == 1)    # run starts (row-major order)
-    _, ex = np.nonzero(d == -1)    # run ends (exclusive), same order
+    # ONE flat nonzero pass over the diff plane (r6; was two 2-D
+    # nonzeros — `d == 1` then `d == -1`): d holds only 0/±1, and
+    # flatnonzero is row-major, so unraveling the hits and splitting
+    # by sign yields the exact same start/end lists in the same order.
+    flat = d.reshape(-1)
+    idx = np.flatnonzero(flat)
+    is_start = flat[idx] == 1
+    sidx = idx[is_start]
+    wd = d.shape[1]
+    sy = sidx // wd
+    sx = sidx - sy * wd
+    ex = idx[~is_start] % wd       # run ends (exclusive), same order
     n_runs = len(sy)
     if n_runs == 0:
         return None
