@@ -176,8 +176,22 @@ def median3_b(gray: np.ndarray) -> np.ndarray:
     p = _pad_edge_b(gray, 1, 1, 1, 1)
     v = [p[:, y : y + h, x : x + w] for y in range(3) for x in range(3)]
 
+    # exchange with buffer recycling (r6): slots start as views into
+    # the padded plane (not writable targets); once a slot owns an
+    # array, a replaced array returns to a small pool and becomes the
+    # next exchange's output buffer — ~10 allocations for the 19
+    # exchanges instead of 38.  Values are untouched: same np.minimum
+    # / np.maximum per exchange, written to fresh or recycled buffers.
+    owned = [False] * 9
+    pool: list = []
     def ex(i, j):
-        v[i], v[j] = np.minimum(v[i], v[j]), np.maximum(v[i], v[j])
+        vi, vj = v[i], v[j]
+        lo = np.minimum(vi, vj, out=pool.pop() if pool else None)
+        hi = np.maximum(vi, vj, out=vj if owned[j] else None)
+        if owned[i]:
+            pool.append(vi)
+        v[i], v[j] = lo, hi
+        owned[i] = owned[j] = True
 
     ex(1, 2); ex(4, 5); ex(7, 8)
     ex(0, 1); ex(3, 4); ex(6, 7)
