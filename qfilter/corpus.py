@@ -967,8 +967,8 @@ def connected_components(
     # del them promptly); worst-case residency is max_iter copies of
     # the 2-column vertex table, which spills rather than OOMs.
     if checkpoint == "local":
-        def _ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+        def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+            return df.localCheckpoint(eager=eager)
     elif checkpoint == "reliable":
         if not edges.sparkSession.sparkContext.getCheckpointDir():
             raise ValueError(
@@ -976,8 +976,8 @@ def connected_components(
                 "(an HDFS/object-store path on a real cluster)"
             )
 
-        def _ckpt(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
+        def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+            return df.checkpoint(eager=eager)
     else:
         raise ValueError(f"unknown checkpoint strategy {checkpoint!r}")
 
@@ -1027,6 +1027,11 @@ def connected_components(
             und.join(labels, und.d == labels.v)
             .groupBy("s").agg(F.min("comp").alias("nbr_comp"))
         )
+        # LAZY checkpoint (r6): the convergence check directly below is
+        # the round's first action, so it materializes the checkpoint
+        # blocks AND computes the checksum/diff in ONE Spark job — the
+        # eager form paid a separate materialization job per round
+        # (2 jobs/round -> 1; same blocks, same lineage truncation).
         new_labels = _ckpt(
             labels.alias("o")
             .join(nbr, F.col("o.v") == nbr.s, "left")
@@ -1035,7 +1040,8 @@ def connected_components(
                 F.least(
                     F.col("o.comp"), F.coalesce("nbr_comp", F.col("o.comp"))
                 ).alias("comp"),
-            )
+            ),
+            eager=False,
         )
         if integral:
             cur_sum = _checksum(new_labels)
@@ -1091,20 +1097,25 @@ def connected_components_star(
     equal sums only confirm an already-monotone process).
     """
     if checkpoint == "local":
-        def _ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+        def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+            return df.localCheckpoint(eager=eager)
     elif checkpoint == "reliable":
         if not edges.sparkSession.sparkContext.getCheckpointDir():
             raise ValueError(
                 "checkpoint='reliable' needs sc.setCheckpointDir(...)"
             )
 
-        def _ckpt(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
+        def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+            return df.checkpoint(eager=eager)
     else:
         raise ValueError(f"unknown checkpoint strategy {checkpoint!r}")
 
-    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # checkpoint the raw edge list FIRST (r6): `verts` and `e` both
+    # consume it, and without this the caller's entire upstream
+    # pipeline (e.g. the MinHash candidate generation) re-executes
+    # once per consumer — measured ~2 s per extra pass at sf0.1, and
+    # a full corpus-scale re-read at 100 TB
+    und = _ckpt(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     verts = _ckpt(
         und.select("u").unionByName(und.select(F.col("v").alias("u"))).distinct()
     )
@@ -1140,7 +1151,11 @@ def connected_components_star(
             .join(mins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        e1 = _ckpt(_sym(ls))
+        # LAZY checkpoints (r6): the round-ending checksum action below
+        # materializes e2's blocks and, through e2's plan, e1's as
+        # well — one Spark job per round where the eager form ran
+        # three (e1 materialize, e2 materialize, checksum).
+        e1 = _ckpt(_sym(ls), eager=False)
         # small star over edges oriented large -> small: (u,v), v <= u
         small = e1.filter(F.col("v") < F.col("u"))
         mins2 = small.groupBy("u").agg(F.min("v").alias("m"))
@@ -1150,7 +1165,7 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
         )
-        e2 = _ckpt(_sym(ss))
+        e2 = _ckpt(_sym(ss), eager=False)
         del e
         e = e2
         cur = _checksum(e)
