@@ -384,6 +384,22 @@ def _doc_trigrams(docs: DataFrame) -> DataFrame:
     return tri.distinct()
 
 
+def _doc_shingle_hashes(docs: DataFrame, p: int) -> DataFrame:
+    """(doc_id, x) word-3-gram shingle hashes, x = xxhash64(shingle)
+    mod p, WITHOUT per-doc dedup — for min-fold consumers (MinHash),
+    where duplicates cannot affect the result."""
+    words = docs.select("doc_id", _words().alias("ws")).filter(F.size("ws") >= 3)
+    return words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(ws) - 3, -1)),"
+                f" i -> pmod(xxhash64(concat_ws(' ', ws[i], ws[i+1], ws[i+2])), {p}))"
+            )
+        ).alias("x"),
+    )
+
+
 TRIGRAM_DF_CAP = 64  # drop shingles present in more docs than this
 
 
@@ -408,27 +424,50 @@ def trigram_jaccard_pairs(
     # join/shuffle on the 64-bit shingle hash, not the string: ~4x
     # smaller shuffle keys; per-doc shingles are DISTINCT strings, so
     # hashed counts match exactly absent an xxhash64 collision (~1e-8
-    # at this cardinality; the oracle parity test would surface one)
-    tri_all = _doc_trigrams(all_docs).select(
-        "doc_id", F.xxhash64("shingle").alias("sh")
+    # at this cardinality; the oracle parity test would surface one).
+    # r6: hash BEFORE the per-doc distinct (not `_doc_trigrams` then
+    # hash) — the distinct is the first shuffle of the job and now
+    # moves 16-byte (doc_id, sh) rows instead of full shingle strings.
+    # Same output under the same no-collision assumption the hashed
+    # join already makes: dedup over hashes == dedup over the distinct
+    # strings they came from unless two distinct shingles of one doc
+    # collide.
+    words = all_docs.select("doc_id", _words().alias("ws")).filter(
+        F.size("ws") >= 3
     )
+    tri_all = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(ws) - 3, -1)),"
+                " i -> xxhash64(concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"
+            )
+        ).alias("sh"),
+    ).distinct()
     # document-frequency cap (stop-shingle removal): one corpus-common
     # trigram ("one of the") would otherwise produce O(df^2) rows in
     # the self-join below — the scale-killer at 100 TB.  Jaccard is
     # computed over the KEPT shingles on both sides (sizes included),
-    # mirrored exactly in the DuckDB oracle.  The df agg and the join
-    # back both shuffle on `sh`, so they co-partition.
-    keep_sh = (
-        tri_all.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # mirrored exactly in the DuckDB oracle.
+    # r6: the cap is a count() window over sh, not a df-aggregate
+    # joined back — the agg+join form re-executed the whole shingle
+    # generation for each of its two scans (one per join side) and
+    # paid two shuffles; the window computes identical df counts in
+    # ONE shuffle of the shingle table and one generation pass.
+    from pyspark.sql.window import Window
+
+    tri = (
+        tri_all.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        )
         .filter(F.col("df") <= df_cap)
-        .select("sh")
+        .drop("df")
+        # corpus-sized intermediate: DISK_ONLY, not memory cache — at
+        # 100 TB the kept-shingle set dwarfs executor memory and a
+        # MEMORY persist would evict/thrash; local parquet-speed disk
+        # re-reads are cheaper than recomputing the cap pass twice
+        .persist(StorageLevel.DISK_ONLY)
     )
-    # corpus-sized intermediate: DISK_ONLY, not memory cache — at
-    # 100 TB the kept-shingle set dwarfs executor memory and a MEMORY
-    # persist would evict/thrash; local parquet-speed disk re-reads
-    # are cheaper than recomputing the df-cap join twice
-    tri = tri_all.join(keep_sh, "sh").persist(StorageLevel.DISK_ONLY)
     sizes = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = tri.alias("a")
     b = tri.alias("b")
@@ -851,13 +890,17 @@ def minhash_signatures(
     (xxhash64 + arithmetic), no UDF.  Deterministic coefficient table.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    tri = _doc_trigrams(docs)
     # p = 2^31-1 keeps a_i * x + b_i well inside int64 (ANSI mode errors
     # on overflow rather than wrapping)
     p = 2147483647
-    hashed = tri.select(
-        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(p)).alias("x")
-    )
+    # r6: no per-doc distinct before the min-aggregation — min() over a
+    # multiset equals min() over its support, so duplicate shingles
+    # cannot change any signature (bit-identical output, verified by
+    # exceptAll both ways), and dropping the distinct removes the
+    # full-width (doc_id, shingle-string) shuffle that dominated this
+    # stage; what remains shuffles only map-side-combined partial
+    # minima (one 32-column row per doc per map partition).
+    hashed = _doc_shingle_hashes(docs, p)
     a, b = _minhash_coeffs(n_perm)
     aggs = [
         F.min(F.pmod(F.lit(a[i]) * F.col("x") + F.lit(b[i]), F.lit(p))).alias(f"mh{i}")
@@ -882,9 +925,10 @@ def minhash_lsh_dup_pairs(
     )
     all_docs = docs.unionByName(trunc)
 
-    tri = _doc_trigrams(all_docs)
+    # no per-doc distinct: see minhash_signatures (min over a multiset
+    # == min over its support; removes the shingle-string shuffle)
     p = 2147483647
-    hashed = tri.select("doc_id", F.pmod(F.xxhash64("shingle"), F.lit(p)).alias("x"))
+    hashed = _doc_shingle_hashes(all_docs, p)
     a, b = _minhash_coeffs(n_perm)
     aggs = [
         F.min(F.pmod(F.lit(a[i]) * F.col("x") + F.lit(b[i]), F.lit(p))).alias(f"mh{i}")
