@@ -97,7 +97,12 @@ def _augment_iter(batches):
                 row.update(
                     h=int(out.shape[0]),
                     w=int(out.shape[1]),
-                    bytes=codecs.encode(out, fmt),
+                    # deflate level 1 (r6): augmented shards are bulk
+                    # training input, not a byte-pinned oracle surface;
+                    # level 6 spent ~46% of the stage in zlib for ~15%
+                    # smaller shards.  Pixels identical; the single-node
+                    # oracle encodes through this same call.
+                    bytes=codecs.encode(out, fmt, level=1),
                     error=None,
                 )
             except Exception as exc:  # noqa: BLE001 — error channel, never a crash

@@ -127,7 +127,7 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def _encode_png(px: np.ndarray) -> bytes:
+def _encode_png(px: np.ndarray, level: int = 6) -> bytes:
     h, w, _ = px.shape
     px = px.astype(np.uint8)
     # Per-scanline filter choice: 0 (None) for row 0, 2 (Up) elsewhere —
@@ -140,7 +140,7 @@ def _encode_png(px: np.ndarray) -> bytes:
         raw[1:, 0] = 2
         raw[1:, 1:] = flat[1:] - flat[:-1]  # uint8 wraparound == mod 256
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    idat = zlib.compress(raw.tobytes(), 6)
+    idat = zlib.compress(raw.tobytes(), level)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -282,7 +282,7 @@ def _ycbcr_planes_to_rgb(y: np.ndarray, cbp: np.ndarray, crp: np.ndarray) -> np.
     return out.astype(np.uint8)
 
 
-def _encode_qjpg(px: np.ndarray) -> bytes:
+def _encode_qjpg(px: np.ndarray, level: int = 6) -> bytes:
     h, w, _ = px.shape
     ycc = _rgb_to_ycbcr(px)
     yq = np.round(ycc[..., 0] / _QY).astype(np.int16)
@@ -300,9 +300,9 @@ def _encode_qjpg(px: np.ndarray) -> bytes:
     return (
         header
         + struct.pack("<I", 0)  # reserved
-        + zlib.compress(yq.tobytes(), 6)
+        + zlib.compress(yq.tobytes(), level)
         + b"\x00SPLT\x00"
-        + zlib.compress(cq.tobytes(), 6)
+        + zlib.compress(cq.tobytes(), level)
     )
 
 
@@ -333,19 +333,27 @@ def _decode_qjpg(data: bytes) -> np.ndarray:
 # ------------------------------------------------------------- public
 
 _ENCODERS = {
-    "raw": lambda px: _encode_raw(px),
-    "bmp": lambda px: _encode_bmp(px),
-    "png": lambda px: _encode_png(px),
-    "qjpg": lambda px: _encode_qjpg(px),
+    "raw": lambda px, level: _encode_raw(px),
+    "bmp": lambda px, level: _encode_bmp(px),
+    "png": lambda px, level: _encode_png(px, level),
+    "qjpg": lambda px, level: _encode_qjpg(px, level),
 }
 
 
-def encode(px: np.ndarray, fmt: str) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array into ``fmt`` bytes."""
+def encode(px: np.ndarray, fmt: str, level: int = 6) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array into ``fmt`` bytes.
+
+    ``level`` is the deflate effort for the compressed containers
+    (png/qjpg); the DEFAULT (6) is frozen — registered queries
+    (qf_enhanced_bytes) byte-compare against oracles built at this
+    level.  Bulk re-encode stages whose output is not byte-pinned
+    (augmentation shards) may pass a lower level for throughput; the
+    pixels are identical either way for png (lossless) and qjpg's
+    loss comes from quantization, not deflate."""
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError(f"expected (h, w, 3) array, got {px.shape}")
     try:
-        return _ENCODERS[fmt](px)
+        return _ENCODERS[fmt](px, level)
     except KeyError:
         raise ValueError(f"unknown fmt {fmt!r}") from None
 
