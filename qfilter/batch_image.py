@@ -539,20 +539,21 @@ def average_hash_b(gray: np.ndarray) -> np.ndarray:
 
 
 def _cc_stats_batch(masks: np.ndarray) -> list:
-    """Component stats for every image of a (n, h, w) 0/255 stack via
-    ONE union-find: images are stacked vertically with a blank
-    separator row (components cannot cross it), run once through
-    `connected_component_stats(band_h=h+1)`, and the result is sliced
+    """Component stats for every image of a (n, h, w) 0/1 stack via
+    ONE union-find: the stack is viewed as one (n*h, w) plane (a
+    zero-copy reshape — r6; CC's band_h logic bars runs in a band's
+    first row from matching the previous band's last row, which is
+    what the old blank separator rows achieved with an extra
+    allocate-and-copy of the whole stack), run once through
+    `connected_component_stats(band_h=h)`, and the result is sliced
     back per image by its band index.  y statistics come back in
     band-local coordinates, bit-identical to a per-image call (same
     runs, same integer rows, same bincount accumulation order).
     Returns a list of n per-image stats dicts (None where empty)."""
     n, h, w = masks.shape
-    tall = np.zeros((n * (h + 1), w), dtype=np.uint8)
-    v = tall[: n * (h + 1)].reshape(n, h + 1, w)
-    v[:, :h, :] = masks
+    tall = np.ascontiguousarray(masks).reshape(n * h, w)
     # every caller now passes 0/1 masks (the r6 binary pipeline)
-    st = connected_component_stats(tall, band_h=h + 1, assume01=True)
+    st = connected_component_stats(tall, band_h=h, assume01=True)
     out: list = [None] * n
     if st is None:
         return out

@@ -338,27 +338,39 @@ def connected_component_stats(
     has), or None for an empty mask.
 
     ``band_h``: the mask is a vertical concatenation of independent
-    images of height band_h-1 separated by one blank row (the batch
-    path's many-images-one-CC trick).  Components then never span
-    bands; y statistics (y1/y2/sum_y/syy/sxy) are computed in
-    band-LOCAL coordinates (identical values to a per-image call —
-    the same runs contribute the same integer rows in the same
-    bincount order), and the result gains a ``band`` array mapping
-    each component to its image index, non-decreasing.
+    images of ``band_h`` rows each (the batch path's
+    many-images-one-CC trick; r6 — no separator rows needed: runs in
+    the first row of a band are barred from matching the previous
+    band's last row when overlap pairs are generated, which is
+    exactly what a blank separator row achieved, so callers can pass
+    a zero-copy ``(n*h, w)`` reshape of their stack).  Components
+    then never span bands; y statistics (y1/y2/sum_y/syy/sxy) are
+    computed in band-LOCAL coordinates (identical values to a
+    per-image call — the same runs contribute the same integer rows
+    in the same bincount order), and the result gains a ``band``
+    array mapping each component to its image index, non-decreasing.
 
     Vectorized: all runs extracted in one diff pass; per-row overlap
     matching via searchsorted (runs within a row are sorted and
     disjoint); per-component stats via bincount over resolved roots.
     """
     h, w = binary.shape
-    padded = np.zeros((h, w + 2), dtype=np.int8)
     if assume01:
         # caller guarantees a 0/1 plane (the batched pipeline) — the
         # `!= 0` normalization pass would be a no-op
-        padded[:, 1:-1] = binary
+        b01 = binary if binary.dtype == np.uint8 else binary.view(np.uint8)
     else:
-        padded[:, 1:-1] = binary != 0
-    d = np.diff(padded, axis=1)
+        b01 = (binary != 0).view(np.uint8)
+    # run-boundary diff built directly from the mask (r6): column 0 is
+    # the mask's first column, column w its negated last — identical
+    # values to diff(zero-padded mask) without materializing the
+    # (h, w+2) padded copy first
+    s8 = b01.view(np.int8)
+    d = np.empty((h, w + 1), dtype=np.int8)
+    d[:, 0] = s8[:, 0]
+    if w > 1:
+        np.subtract(s8[:, 1:], s8[:, :-1], out=d[:, 1:w])
+    np.negative(s8[:, -1], out=d[:, w])
     # ONE flat nonzero pass over the diff plane (r6; was two 2-D
     # nonzeros — `d == 1` then `d == -1`): d holds only 0/±1, and
     # flatnonzero is row-major, so unraveling the hits and splitting
@@ -388,6 +400,11 @@ def connected_component_stats(
     jlo = np.searchsorted(key_end, prev_base + sx, side="left")
     jhi = np.searchsorted(key_start, prev_base + ex, side="right")
     counts = np.maximum(jhi - jlo, 0)
+    if band_h is not None:
+        # bar a band's first row from matching the previous band's
+        # last row — the separator-free form of the old blank-row
+        # layout (under which these counts were already zero)
+        counts[sy % band_h == 0] = 0
     total = int(counts.sum())
 
     # Min-label propagation with pointer jumping (vectorized union-find:
