@@ -227,17 +227,46 @@ def _double_cumsum_b(p: np.ndarray, dtype) -> np.ndarray:
     return ii
 
 
+def _eprefix_rows(p: np.ndarray, dtype) -> np.ndarray:
+    """Exclusive prefix sums along axis 1 as a loop of contiguous
+    (n, W) row adds — each np.add is one SIMD pass, measured 2x
+    faster than np.cumsum's generic accumulate loop; integer adds in
+    any association are exact."""
+    n, H, W = p.shape
+    e = np.empty((n, H + 1, W), dtype=dtype)
+    e[:, 0] = 0
+    for i in range(H):
+        np.add(e[:, i], p[:, i], out=e[:, i + 1])
+    return e
+
+
 def box_sums_shared_b(gray: np.ndarray, blocks: tuple[int, ...]) -> dict:
-    """Batched integer window SUMS for several odd block sizes from one
-    integral (`imageops._box_means_shared` without the float division
-    — the adaptive-threshold consumer compares in integer space, so
-    the float64 means array never needs to exist).  int32 when each
-    image's padded plane fits (the scalar path's own criterion; the
-    cumsums run per-image along axes 1/2, so the per-image bound
-    applies unchanged)."""
+    """Batched integer window SUMS for several odd block sizes
+    (`imageops._box_means_shared` without the float division — the
+    adaptive-threshold consumer compares in integer space, so the
+    float64 means array never needs to exist).
+
+    Two exact strategies (r6), picked by call shape:
+    * single block — separable "transpose sandwich": uint16 exclusive
+      row-prefix + window diff vertically, transpose, int32 row-prefix
+      + diff horizontally, transpose back.  Both scans run on the fast
+      axis as SIMD row adds; measured ~25 % faster than the integral
+      for one block.
+    * multiple blocks — one shared integral image (the transposes and
+      prefixes would repeat per block and lose).
+    Both are pure integer sums — identical values either way
+    (cross-checked in tests)."""
     n, h, w = gray.shape
     rmax = max(b // 2 for b in blocks)
     p = _pad_edge_b(gray, rmax, rmax, rmax, rmax)
+    if len(blocks) == 1 and p.shape[1] * 255 <= 65535:
+        b = blocks[0]
+        ev = _eprefix_rows(p, np.uint16)
+        vs = ev[:, b : b + h] - ev[:, 0:h]          # (n, h, Wp) uint16
+        vt = np.ascontiguousarray(vs.transpose(0, 2, 1))
+        eh = _eprefix_rows(vt, np.int32)
+        hs = eh[:, b : b + w] - eh[:, 0:w]          # (n, w, h) int32
+        return {b: np.ascontiguousarray(hs.transpose(0, 2, 1))}
     acc = np.int32 if p.shape[1] * p.shape[2] * 255 < 2**31 else np.int64
     ii = _double_cumsum_b(p, acc)
     out = {}

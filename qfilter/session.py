@@ -31,6 +31,18 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra: dict | None = None,
 ) -> SparkSession:
+    # glibc allocator tuning for the Arrow/NumPy workers (r6): the
+    # image kernels allocate/free many few-hundred-KB temporaries per
+    # batch; at default thresholds glibc serves those via mmap/munmap,
+    # and with one worker per core the resulting page-fault + TLB
+    # shootdown churn costs ~10-13% of kernel throughput at 32 procs
+    # (interleaved A/B in BENCH/kernel_profile.py FULL_PATH).  Raising
+    # the thresholds keeps such blocks on the sbrk heap.  Per-process
+    # behavior — equally valid on any executor size; setdefault so a
+    # deployment can still override; inherited by the JVM and its
+    # Python workers when the session is created by this factory.
+    for var in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
+        os.environ.setdefault(var, "33554432")
     cores = os.cpu_count() or 8
     master = master or os.environ.get("QFILTER_MASTER", f"local[{cores}]")
     if shuffle_partitions is None:
