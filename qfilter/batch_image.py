@@ -501,8 +501,11 @@ def laplacian_variance_b(gray: np.ndarray) -> np.ndarray:
     """Batched Laplacian; per-image var on the contiguous slice (same
     values, same memory order as the scalar `lap.var()`)."""
     n, h, w = gray.shape
-    g = gray.astype(np.int16)
-    p = _pad_edge_b(g, 1, 1, 1, 1)
+    # pad the uint8 plane (1 byte/px) and widen once; the center view
+    # of the padded plane replaces the separate int16 copy of gray —
+    # same values, one less full-plane temporary (r6)
+    p = _pad_edge_b(gray, 1, 1, 1, 1).astype(np.int16)
+    g = p[:, 1:-1, 1:-1]
     lap = (
         p[:, :-2, 1:-1] + p[:, 2:, 1:-1] + p[:, 1:-1, :-2] + p[:, 1:-1, 2:]
         - 4 * g

@@ -268,18 +268,21 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 
 def _ycbcr_planes_to_rgb(y: np.ndarray, cbp: np.ndarray, crp: np.ndarray) -> np.ndarray:
     """Per-plane YCbCr -> RGB: the same float32 expressions as the
-    historical stacked form (same per-element op order, so identical
-    rounding), but written into one preallocated output instead of
-    building r/g/b temporaries plus an np.stack copy."""
+    historical stacked form (same per-element op order per channel, so
+    identical rounding).  Each channel is clipped/rounded/narrowed on
+    its own contiguous plane and only the final uint8 values are
+    interleaved — the strided writes move 1 byte per sample instead of
+    4, and clip/round run on contiguous data."""
     cb = cbp - 128.0
     cr = crp - 128.0
-    out = np.empty(y.shape + (3,), dtype=np.float32)
-    out[..., 0] = y + 1.402 * cr
-    out[..., 1] = y - 0.344136 * cb - 0.714136 * cr
-    out[..., 2] = y + 1.772 * cb
-    np.clip(out, 0, 255, out=out)
-    np.round(out, out=out)
-    return out.astype(np.uint8)
+    out = np.empty(y.shape + (3,), dtype=np.uint8)
+    for i, ch in enumerate(
+        (y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb)
+    ):
+        np.clip(ch, 0, 255, out=ch)
+        np.round(ch, out=ch)
+        out[..., i] = ch
+    return out
 
 
 def _encode_qjpg(px: np.ndarray, level: int = 6) -> bytes:
