@@ -57,7 +57,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", os.environ.get("QFILTER_DRIVER_MEM", "8g"))
+        # multi-KB `bytes` cells make the default 4096-row vectorized
+        # reader batch a heap hazard: 32 concurrent scan tasks each
+        # buffering ~24 MB column chunks intermittently OOMed an 8 GB
+        # heap in the streaming read (observed r6; BENCH/run_volume.py
+        # hit the same wall at 4x volume and already caps its batch).
+        # 512 rows bounds reader memory by bytes, not row count, with
+        # no measurable cost on narrow-row scans.
+        .config(
+            "spark.sql.parquet.columnarReaderBatchSize",
+            os.environ.get("QFILTER_READER_BATCH", "512"),
+        )
+        .config("spark.driver.memory", os.environ.get("QFILTER_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():
