@@ -2169,10 +2169,19 @@ def deregistered_checks() -> dict:
               FROM rn GROUP BY id1, id2, diag, grp
               HAVING max(pa) - min(pa) + 8 >= 15
             ),
+            -- distinct cut ranges: identical (doc_id, s, e) spans from
+            -- several id1 partners otherwise leave ties in the window
+            -- order below, and the two window clauses may enumerate
+            -- tied rows differently (independent sorts), splitting one
+            -- island in two; after DISTINCT the order is total.
+            -- Value-neutral: identical ranges always union-merge.
+            spans_d AS (
+              SELECT DISTINCT doc_id, s, e FROM spans
+            ),
             ordd AS (
               SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
-              FROM spans
+              FROM spans_d
             ),
             isl AS (
               SELECT *, sum(CASE WHEN pme IS NULL OR s > pme

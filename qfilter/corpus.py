@@ -646,11 +646,22 @@ def substring_dedup_apply(
     from pyspark.sql import Window
 
     spans = substring_dup_spans(spark, sf_dir, k, min_words, df_cap)
+    # DISTINCT cut ranges (r6 flake fix): several id1 partners (e.g.
+    # exact-duplicate sources) can report the IDENTICAL (doc_id, s, e)
+    # cut.  Identical ranges always union-merge, so distinct is
+    # value-neutral — but it removes ties from the (s, e) window
+    # order.  With ties present, an engine that evaluates the
+    # running-max window and the island running-sum window under two
+    # independent sorts can interleave the tied rows differently and
+    # split one island in two (observed once in DuckDB on the oracle
+    # side: n_removed 80 vs 40 for a doc with three identical spans).
+    # After distinct, (s, e) is unique per doc and both windows are
+    # totally ordered in any engine.
     cuts = spans.select(
         F.col("id2").alias("doc_id"),
         F.col("start2").alias("s"),
         (F.col("start2") + F.col("span_words")).alias("e"),
-    )
+    ).distinct()
     w = Window.partitionBy("doc_id").orderBy("s", "e")
     merged = (
         cuts.withColumn(
